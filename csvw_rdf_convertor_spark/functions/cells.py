@@ -1,0 +1,441 @@
+"""The W3C CSVW "parsing cells" pipeline, compiled to Spark Column exprs.
+
+Per-cell dataflow (reference orchestration: csvw2rdf/convertor.ts:897-914):
+
+    raw string → whitespace-normalize (P1) → default (P2) → null check (P3)
+    → separator split (P4) → datatype parse/validate (P5–P9)
+    → canonical lexical form | ``@@invalid@@``-tagged raw (P10)
+
+Every stage is a *plan-build-time* branch on the column spec — the emitted
+expression tree is straight-line per column, runs inside whole-stage codegen,
+and never touches Python at row level. The rare LDML number-pattern path
+(reference: utils/parse-number.ts:179-399) is the only pandas-UDF fallback.
+
+Cell results are ``array<string>`` of canonical lexical values: NULL array =
+null cell (no triple), multi-element = list cell.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..spec import (
+    DATE_TYPES,
+    INVALID_SENTINEL,
+    NUMERIC_TYPES,
+    WS_EXEMPT_TYPES,
+    ColumnSpec,
+    DatatypeSpec,
+)
+
+# --- lexical-space regexes (ported semantics of utils/parse-number.ts:10-27,
+# --- validation/datatype.ts:230-241, format-datetime.ts:23-49; these XSD
+# --- lexical grammars are public W3C spec content) --------------------------
+
+INTEGER_RE = r"[+-]?[0-9]+"
+DECIMAL_RE = r"[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)"
+DOUBLE_RE = (
+    r"(?:[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?|[+-]?INF|NaN)"
+)
+_DUR_TIME = (
+    r"T(?:[0-9]+H(?:[0-9]+M)?(?:[0-9]+(?:\.[0-9]+)?S)?"
+    r"|[0-9]+M(?:[0-9]+(?:\.[0-9]+)?S)?|[0-9]+(?:\.[0-9]+)?S)"
+)
+DURATION_RE = (
+    r"-?P(?:(?:[0-9]+Y(?:[0-9]+M)?(?:[0-9]+D)?|[0-9]+M(?:[0-9]+D)?|[0-9]+D)"
+    rf"(?:{_DUR_TIME})?|{_DUR_TIME})"
+)
+DAYTIME_DURATION_RE = rf"-?P(?:[0-9]+D(?:{_DUR_TIME})?|{_DUR_TIME})"
+YEARMONTH_DURATION_RE = r"-?P(?:[0-9]+Y(?:[0-9]+M)?|[0-9]+M)"
+_TZ_RE = r"(?:Z|[+-](?:0[0-9]|1[0-4]):[0-5][0-9])?"
+GYEAR_RE = rf"-?(?:[1-9][0-9]{{3,}}|0[0-9]{{3}}){_TZ_RE}"
+GYEARMONTH_RE = rf"-?(?:[1-9][0-9]{{3,}}|0[0-9]{{3}})-(?:0[1-9]|1[0-2]){_TZ_RE}"
+GMONTH_RE = rf"--(?:0[1-9]|1[0-2]){_TZ_RE}"
+GMONTHDAY_RE = rf"--(?:0[1-9]|1[0-2])-(?:0[1-9]|[12][0-9]|3[01]){_TZ_RE}"
+GDAY_RE = rf"---(?:0[1-9]|[12][0-9]|3[01]){_TZ_RE}"
+HEXBINARY_RE = r"(?:[0-9a-fA-F]{2})*"
+BASE64_RE = (
+    r"(?:(?:[A-Za-z0-9+/] ?){4})*"
+    r"(?:(?:[A-Za-z0-9+/] ?){3}[A-Za-z0-9+/]"
+    r"|(?:[A-Za-z0-9+/] ?){2}[AEIMQUYcgkosw048] ?="
+    r"|[A-Za-z0-9+/] ?[AQgw] ?= ?=)?"
+)
+LANGUAGE_RE = r"[a-zA-Z]{1,8}(?:-[a-zA-Z0-9]{1,8})*"
+NAME_RE = r"[A-Za-z_:][\w.:-]*"
+NCNAME_RE = r"[A-Za-z_][\w.-]*"
+NMTOKEN_RE = r"[\w.:-]+"
+
+#: default lexical regex per base type (None → no lexical constraint)
+DEFAULT_FORMAT_RES: dict[str, str] = {
+    "duration": DURATION_RE,
+    "dayTimeDuration": DAYTIME_DURATION_RE,
+    "yearMonthDuration": YEARMONTH_DURATION_RE,
+    "gYear": GYEAR_RE,
+    "gYearMonth": GYEARMONTH_RE,
+    "gMonth": GMONTH_RE,
+    "gMonthDay": GMONTHDAY_RE,
+    "gDay": GDAY_RE,
+    "hexBinary": HEXBINARY_RE,
+    "base64Binary": BASE64_RE,
+    "binary": BASE64_RE,
+    "language": LANGUAGE_RE,
+    "Name": NAME_RE,
+    "NCName": NCNAME_RE,
+    "QName": NCNAME_RE + r"(?::" + NCNAME_RE + r")?",
+    "NMTOKEN": NMTOKEN_RE,
+}
+
+#: integer-family value ranges (reference: parse-number.ts:28-37)
+INT_RANGES: dict[str, tuple[int | None, int | None]] = {
+    "long": (-(2**63), 2**63 - 1),
+    "int": (-(2**31), 2**31 - 1),
+    "short": (-(2**15), 2**15 - 1),
+    "byte": (-(2**7), 2**7 - 1),
+    "unsignedLong": (0, 2**64 - 1),
+    "unsignedInt": (0, 2**32 - 1),
+    "unsignedShort": (0, 2**16 - 1),
+    "unsignedByte": (0, 2**8 - 1),
+    "nonNegativeInteger": (0, None),
+    "positiveInteger": (1, None),
+    "nonPositiveInteger": (None, 0),
+    "negativeInteger": (None, -1),
+}
+INTEGER_FAMILY = set(INT_RANGES) | {"integer"}
+
+
+def _invalid(raw: Column) -> Column:
+    """P10 tag: sentinel-prefixed raw value (reference: prefix.ts:222)."""
+    return F.concat(F.lit(INVALID_SENTINEL), raw)
+
+
+def strip_invalid(lex: Column) -> Column:
+    return F.when(
+        lex.startswith(INVALID_SENTINEL), lex.substr(F.lit(len(INVALID_SENTINEL) + 1), F.length(lex))
+    ).otherwise(lex)
+
+
+def is_invalid(lex: Column) -> Column:
+    return lex.startswith(INVALID_SENTINEL)
+
+
+# --- P1: whitespace normalization (convertor.ts:1157-1166) ------------------
+
+def normalize_ws(raw: Column, base: str) -> Column:
+    if base in WS_EXEMPT_TYPES:
+        return raw
+    if base == "normalizedString":
+        return F.regexp_replace(raw, r"[\t\r\n]", " ")
+    return F.trim(F.regexp_replace(raw, r"\s+", " "))
+
+
+# --- P5: numbers (utils/parse-number.ts:42-177, no-LDML path) ---------------
+
+def _number_format_opts(fmt) -> tuple[str, str, str | None]:
+    """(decimalChar, groupChar, ldml_pattern)."""
+    if isinstance(fmt, dict):
+        return (fmt.get("decimalChar", "."), fmt.get("groupChar", ""),
+                fmt.get("pattern"))
+    if isinstance(fmt, str):
+        return (".", "", fmt)
+    return (".", "", None)
+
+
+def parse_number(value: Column, dt: DatatypeSpec) -> Column:
+    """Canonical lexical form of a numeric cell, or ``@@invalid@@``+raw.
+
+    Covers regex validation per XSD type, group/decimal-char substitution,
+    %/‰ division, INF/NaN passthrough, integer range extents, min/max
+    constraints, and ``-0`` preservation — all as Column expressions.
+    The LDML ``pattern`` path goes through :func:`ldml_parse_udf` instead.
+    """
+    base = dt.base
+    dec_char, grp_char, pattern = _number_format_opts(dt.format)
+    if pattern is not None:
+        from .ldml import ldml_number_udf  # pandas-UDF fallback (rare path)
+        return ldml_number_udf(pattern, base)(value)
+
+    v = value
+    if grp_char:
+        v = F.replace(v, F.lit(grp_char), F.lit(""))
+    if dec_char != ".":
+        v = F.replace(v, F.lit(dec_char), F.lit("."))
+
+    # percent / permille (parse-number.ts:143-177)
+    pct = v.endswith("%")
+    pml = v.endswith("‰")
+    core = F.when(pct | pml, v.substr(F.lit(1), F.length(v) - 1)).otherwise(v)
+
+    if base in ("double", "float", "number"):
+        ok = core.rlike(f"^{DOUBLE_RE}$")
+        num = (
+            F.when(core == "INF", float("inf"))
+            .when(core == "+INF", float("inf"))
+            .when(core == "-INF", float("-inf"))
+            .when(core == "NaN", float("nan"))
+            .otherwise(core.cast("double"))
+        )
+        num = F.when(pct, num / 100).when(pml, num / 1000).otherwise(num)
+        lex = _canonical_double(num, core, pct | pml)
+    elif base == "decimal":
+        ok = core.rlike(f"^{DECIMAL_RE}$")
+        num = core.cast("decimal(38,10)")
+        num = F.when(pct, num / 100).when(pml, num / 1000).otherwise(num)
+        lex = _canonical_decimal_str(num.cast("string"), core)
+    else:  # integer family
+        ok = core.rlike(f"^{INTEGER_RE}$")
+        num = core.cast("decimal(38,0)")
+        lo, hi = INT_RANGES.get(base, (None, None))
+        if lo is not None:  # bounds as strings: 2^64-1 overflows a JVM long literal
+            ok = ok & (num >= F.lit(str(lo)).cast("decimal(38,0)"))
+        if hi is not None:
+            ok = ok & (num <= F.lit(str(hi)).cast("decimal(38,0)"))
+        ok = ok & ~pct & ~pml  # %/‰ cannot yield an integer-family value
+        lex = F.when(core.rlike("^-0+$"), F.lit("-0")).otherwise(num.cast("string"))
+
+    ok = _apply_min_max(ok, num, dt)
+    return F.when(ok & num.isNotNull() | (ok & core.isin("INF", "+INF", "-INF", "NaN")),
+                  lex).otherwise(_invalid(value))
+
+
+def _apply_min_max(ok: Column, num: Column, dt: DatatypeSpec) -> Column:
+    """Numeric range facets (parse-number.ts:56-87)."""
+    for attr, op in (("minimum", ">="), ("maximum", "<="),
+                     ("minExclusive", ">"), ("maxExclusive", "<")):
+        bound = getattr(dt, attr)
+        if bound is None:
+            continue
+        b = F.lit(float(bound))
+        n = num.cast("double")
+        ok = ok & {"": None, ">=": n >= b, "<=": n <= b, ">": n > b, "<": n < b}[op]
+    return ok
+
+
+def _canonical_double(num: Column, core: Column, transformed: Column) -> Column:
+    """JS ``Number.prototype.toString``-style canonical form (the reference
+    re-emits ``transformedNumber + ''`` — parse-number.ts:140): integral
+    values print without a fractional part; ``-0`` is preserved (:139)."""
+    as_long = num.cast("long")
+    integral = num.isNotNull() & (num == as_long.cast("double")) & (F.abs(num) < 1e15)
+    neg_zero = (num == 0) & (core.startswith("-"))
+    return (
+        F.when(F.isnan(num), F.lit("NaN"))
+        .when(num == float("inf"), F.lit("INF"))
+        .when(num == float("-inf"), F.lit("-INF"))
+        .when(neg_zero, F.lit("-0"))
+        .when(integral, as_long.cast("string"))
+        .otherwise(num.cast("string"))
+    )
+
+
+def _canonical_decimal_str(s: Column, core: Column) -> Column:
+    """Strip leading '+', superfluous zeros, and a trailing '.'; keep '-0'."""
+    out = F.regexp_replace(s, r"^\+", "")
+    out = F.regexp_replace(out, r"(\.\d*?)0+$", "$1")
+    out = F.regexp_replace(out, r"\.$", "")
+    out = F.when((out.cast("double") == 0) & core.startswith("-") & ~out.startswith("-"),
+                 F.concat(F.lit("-"), out)).otherwise(out)
+    return out
+
+
+# --- P6: dates/times (utils/parse-date.ts, convertor.ts:1051-1134) ----------
+
+_DATEFNS_TO_JAVA = [
+    ("XXX", "XXX"), ("XX", "XX"), ("X", "X"),
+]
+
+
+def _split_tz_pattern(fmt: str) -> tuple[str, bool]:
+    """date-fns formats may end in X/XX/XXX timezone tokens; Spark's parser
+    handles them, but canonical output must *preserve* the original offset
+    (reference splitTz: parse-date.ts:47-61), so we strip the token and parse
+    the local part separately."""
+    m = re.search(r"\s*X{1,3}$", fmt)
+    if m:
+        return fmt[: m.start()], True
+    return fmt, False
+
+
+_TZ_SUFFIX = r"(Z|[+-]\d{2}:?\d{2}|[+-]\d{2})\s*$"
+
+
+def _extract_tz(value: Column) -> tuple[Column, Column]:
+    """(local_part, normalized_offset_or_'')"""
+    tz = F.regexp_extract(value, _TZ_SUFFIX, 1)
+    local = F.when(tz != "", F.regexp_replace(value, _TZ_SUFFIX, "")).otherwise(value)
+    norm = (
+        F.when(tz == "Z", F.lit("Z"))
+        .when(tz.rlike(r"^[+-]\d{4}$"),
+              F.concat(tz.substr(1, 3), F.lit(":"), tz.substr(4, 2)))
+        .when(tz.rlike(r"^[+-]\d{2}$"), F.concat(tz, F.lit(":00")))
+        .otherwise(tz)
+    )
+    return local, norm
+
+
+def parse_datetime(value: Column, dt: DatatypeSpec) -> Column:
+    """Canonical ISO lexical form for date/time/dateTime(+Stamp) cells.
+
+    Canonical shapes (reference: convertor.ts:1068-1090): date ``yyyy-MM-dd``;
+    time ``HH:mm:ss[.fff]``; dateTime ``yyyy-MM-dd'T'HH:mm:ss[.fff]`` — each
+    with the *original* timezone offset appended if one was given.
+    """
+    base = "dateTime" if dt.base == "datetime" else dt.base
+    fmt = dt.format if isinstance(dt.format, str) else None
+    local, tz = _extract_tz(value)
+    has_tz = tz != ""
+
+    if fmt:
+        fmt_local, _ = _split_tz_pattern(fmt)
+        fmt_local = fmt_local.replace("T", "'T'") if "'" not in fmt_local and "T" in fmt_local and base != "time" else fmt_local
+        ts = F.try_to_timestamp(F.trim(local), F.lit(fmt_local))
+    elif base == "date":
+        ts = F.try_to_timestamp(local, F.lit("yyyy-MM-dd"))
+    elif base == "time":
+        ts = F.coalesce(
+            F.try_to_timestamp(local, F.lit("HH:mm:ss.SSSSSS")),
+            F.try_to_timestamp(local, F.lit("HH:mm:ss.SSS")),
+            F.try_to_timestamp(local, F.lit("HH:mm:ss")),
+        )
+    else:
+        ts = F.coalesce(
+            F.try_to_timestamp(local, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+            F.try_to_timestamp(local, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
+            F.try_to_timestamp(local, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+            F.try_to_timestamp(local, F.lit("yyyy-MM-dd HH:mm:ss")),
+        )
+
+    frac = F.regexp_replace(F.date_format(ts, ".SSS"), r"0+$", "")
+    frac = F.when(frac == ".", F.lit("")).otherwise(frac)
+    if base == "date":
+        lex = F.date_format(ts, "yyyy-MM-dd")
+    elif base == "time":
+        lex = F.concat(F.date_format(ts, "HH:mm:ss"), frac)
+    else:
+        lex = F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), frac)
+    lex = F.when(has_tz, F.concat(lex, tz)).otherwise(lex)
+
+    ok = ts.isNotNull()
+    if base == "dateTimeStamp":
+        ok = ok & has_tz
+    ok = _apply_datetime_min_max(ok, ts, dt)
+    return F.when(ok, lex).otherwise(_invalid(value))
+
+
+def _apply_datetime_min_max(ok: Column, ts: Column, dt: DatatypeSpec) -> Column:
+    """Date range facets (convertor.ts:1093-1134)."""
+    for attr, mk in (("minimum", lambda b: ts >= b), ("maximum", lambda b: ts <= b),
+                     ("minExclusive", lambda b: ts > b), ("maxExclusive", lambda b: ts < b)):
+        bound = getattr(dt, attr)
+        if bound is not None:
+            ok = ok & mk(F.to_timestamp(F.lit(str(bound))))
+    return ok
+
+
+# --- P7: booleans (convertor.ts:1027-1049) ----------------------------------
+
+def parse_boolean(value: Column, dt: DatatypeSpec) -> Column:
+    if isinstance(dt.format, str) and "|" in dt.format:
+        true_val, false_val = dt.format.split("|", 1)
+        return (
+            F.when(value == true_val, F.lit("true"))
+            .when(value == false_val, F.lit("false"))
+            .otherwise(_invalid(value))
+        )
+    return (
+        F.when(value.isin("true", "1"), F.lit("true"))
+        .when(value.isin("false", "0"), F.lit("false"))
+        .otherwise(_invalid(value))
+    )
+
+
+# --- P8/P9: regex-format + length validation --------------------------------
+
+def validate_other(value: Column, dt: DatatypeSpec) -> Column:
+    """Non-numeric/date/bool types: optional regex ``format`` (or the default
+    lexical regex for duration/binary/g* types) + length facets."""
+    ok = F.lit(True)
+    fmt = dt.format if isinstance(dt.format, str) else None
+    regex = fmt or DEFAULT_FORMAT_RES.get(dt.base)
+    if regex is not None:
+        # user-supplied format is an anchored full match in the reference
+        ok = ok & value.rlike(f"^(?:{regex})$")
+    ok = ok & _length_ok(value, dt)
+    return F.when(ok, value).otherwise(_invalid(value))
+
+
+def _length_ok(value: Column, dt: DatatypeSpec) -> Column:
+    """P9 (convertor.ts:990-1025): hexBinary length/2; base64 decoded bytes."""
+    if dt.length is None and dt.minLength is None and dt.maxLength is None:
+        return F.lit(True)
+    if dt.base == "hexBinary":
+        eff = (F.length(value) / 2).cast("int")
+    elif dt.base in ("base64Binary", "binary"):
+        eff = F.length(F.unbase64(value))
+    else:
+        eff = F.length(value)
+    ok = F.lit(True)
+    if dt.length is not None:
+        ok = ok & (eff == dt.length)
+    if dt.minLength is not None:
+        ok = ok & (eff >= dt.minLength)
+    if dt.maxLength is not None:
+        ok = ok & (eff <= dt.maxLength)
+    return ok
+
+
+# --- datatype dispatch -------------------------------------------------------
+
+def parse_datatype(value: Column, dt: DatatypeSpec) -> Column:
+    """interpretDatatype (convertor.ts:897-914): canonical lexical or tagged."""
+    base = dt.base
+    if base in NUMERIC_TYPES:
+        return parse_number(value, dt)
+    if base in DATE_TYPES or base == "dateTimeStamp":
+        return parse_datetime(value, dt)
+    if base == "boolean":
+        return parse_boolean(value, dt)
+    return validate_other(value, dt)
+
+
+# --- full cell pipeline ------------------------------------------------------
+
+def cell_values(raw: Column, col: ColumnSpec) -> Column:
+    """Compile the whole cell pipeline for one column.
+
+    Returns ``array<string>`` of canonical lexical values; NULL when the cell
+    is null (→ no triple, P3); multi-element for separator cells (P4).
+    """
+    base = col.datatype.base
+    v = normalize_ws(raw.cast("string"), base)                         # P1
+    if col.default:
+        v = F.when((v == "") | v.isNull(), F.lit(col.default)).otherwise(v)  # P2
+    else:
+        v = F.coalesce(v, F.lit(""))
+    null_check = v.isin(*col.null) if col.null else F.lit(False)       # P3
+
+    if col.separator is not None:                                       # P4
+        items = F.when(v == "", F.array().cast("array<string>")).otherwise(
+            F.split(v, re.escape(col.separator)))
+        if base not in ("string", "anyAtomicType", "any"):
+            items = F.transform(items, lambda x: F.trim(x))
+        items = F.filter(items, lambda x: ~x.isin(*col.null) if col.null else F.lit(True))
+        parsed = F.transform(items, lambda x: parse_datatype(x, col.datatype))
+    else:
+        parsed = F.array(parse_datatype(v, col.datatype))
+
+    return F.when(null_check, F.lit(None).cast("array<string>")).otherwise(parsed)
+
+
+def required_violation(raw: Column, col: ColumnSpec) -> Column:
+    """True where a required cell is null (→ issues DF; convertor.ts:735-740)."""
+    if not col.required:
+        return F.lit(False)
+    v = normalize_ws(raw.cast("string"), col.datatype.base)
+    if col.default:
+        v = F.when((v == "") | v.isNull(), F.lit(col.default)).otherwise(v)
+    else:
+        v = F.coalesce(v, F.lit(""))
+    return v.isin(*col.null) if col.null else F.lit(False)

@@ -1,0 +1,100 @@
+"""UAX-35 / LDML number-pattern parsing — the one pandas-UDF path in the cell
+pipeline.
+
+The reference implements full LDML pattern matching with grouping expansion
+(packages/core/src/lib/utils/parse-number.ts:179-399). Patterns are rare in
+real descriptors (a handful of CSVW test-suite entries), so this path is
+vectorized Python (Arrow batches) while everything else stays JVM-side.
+
+The UDF is built per (pattern, base) at plan-build time; the compiled regex
+is captured in the closure — no driver-side state is re-pickled per task
+beyond the small closure itself.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ..spec import INVALID_SENTINEL
+
+
+@lru_cache(maxsize=256)
+def compile_ldml(pattern: str) -> tuple[re.Pattern, int, int, int, int]:
+    """Compile an LDML number pattern to (regex, min_int, min_frac, max_frac,
+    primary_group).
+
+    Subset: prefix/suffix literals, ``#``/``0`` digit slots, ``,`` grouping,
+    ``.`` fraction, ``%``/``‰`` suffix, ``;``-separated negative subpattern
+    (only its prefix/suffix are honored, per LDML).
+    """
+    positive = pattern.split(";")[0]
+    m = re.match(r"^([^#0]*)([#0,]*)(?:\.([#0]+))?([^#0]*)$", positive)
+    if not m:
+        raise ValueError(f"unsupported LDML pattern: {pattern!r}")
+    prefix, int_part, frac_part, suffix = m.group(1), m.group(2), m.group(3) or "", m.group(4)
+    groups = int_part.split(",")
+    primary = len(groups[-1]) if len(groups) > 1 else 0
+    min_int = int_part.replace(",", "").count("0")
+    min_frac = frac_part.count("0")
+    max_frac = len(frac_part)
+
+    if primary:
+        int_re = rf"\d{{1,{primary}}}(?:,\d{{{primary}}})*"
+    else:
+        int_re = r"\d+"
+    frac_re = ""
+    if max_frac:
+        frac_re = rf"(?:\.\d{{{min_frac},{max_frac}}})" + ("?" if min_frac == 0 else "")
+    elif min_frac == 0:
+        frac_re = ""
+    rx = re.compile(
+        "^" + re.escape(prefix) + r"([+-]?)(" + int_re + ")" + f"({frac_re})"
+        + re.escape(suffix) + "$")
+    return rx, min_int, min_frac, max_frac, primary
+
+
+def _parse_series(s: pd.Series, pattern: str, base: str) -> pd.Series:
+    rx, min_int, min_frac, _, _ = compile_ldml(pattern)
+    positive = pattern.split(";")[0]
+    scale = 100 if "%" in positive else 1000 if "‰" in positive else 1
+
+    def one(v):
+        if v is None:
+            return None
+        m = rx.match(v)
+        if not m:
+            return INVALID_SENTINEL + v
+        sign, int_digits, frac = m.group(1), m.group(2).replace(",", ""), m.group(3)
+        if len(int_digits) < min_int:
+            return INVALID_SENTINEL + v
+        num = float(sign + int_digits + frac)
+        if scale != 1:
+            num /= scale
+        if base in ("double", "float", "number", "decimal"):
+            if num == int(num) and abs(num) < 1e15:
+                out = str(int(num))
+            else:
+                out = repr(num)
+            if out in ("0", "0.0") and sign == "-":
+                out = "-0"
+            return out
+        if num != int(num):
+            return INVALID_SENTINEL + v
+        return str(int(num))
+
+    return s.map(one)
+
+
+def ldml_number_udf(pattern: str, base: str):
+    """Series→Series pandas UDF applying one LDML pattern."""
+
+    @F.pandas_udf(StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return _parse_series(s, pattern, base)
+
+    return _udf

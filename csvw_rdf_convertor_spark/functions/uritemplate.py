@@ -1,0 +1,144 @@
+"""RFC 6570 URI templates compiled to Spark Column expressions.
+
+The reference parses each aboutUrl/propertyUrl/valueUrl template once per
+table and expands it per row with url-template's ``parseTemplate().expand``
+over the whole row record plus the specials ``_column, _sourceColumn, _row,
+_sourceRow, _name`` (reference: csvw2rdf/convertor.ts:383-401, 687-699,
+1218-1246).
+
+Here the template is compiled ONCE at plan-build time into a ``F.concat`` of
+literal segments and per-variable encoded column references — the expansion
+runs JVM-side inside whole-stage codegen, no Python in the row path.
+
+Supported operator subset (covers the CSVW test corpus): simple ``{var}``
+(percent-encode reserved chars), ``{+var}`` (reserved pass-through),
+``{#var}`` (fragment, reserved pass-through). Prefix/explode modifiers and
+multi-variable lists expand as comma-joined simple values.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Mapping
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_EXPR_RE = re.compile(r"\{([+#./;?&]?)([^}]+)\}")
+
+
+def pct_encode(col: Column) -> Column:
+    """RFC 3986 percent-encoding of everything but unreserved chars.
+
+    Built on ``F.url_encode`` (Java URLEncoder, form-encoding) with fixups to
+    RFC semantics: space ``+``→``%20``, ``%7E``→``~``, ``*``→``%2A``.
+    Stays JVM-side (URLEncoder is deterministic UTF-8 here).
+    """
+    e = F.url_encode(col)
+    e = F.replace(e, F.lit("+"), F.lit("%20"))
+    e = F.replace(e, F.lit("%7E"), F.lit("~"))
+    e = F.replace(e, F.lit("*"), F.lit("%2A"))
+    return e
+
+
+def _encode_reserved_ok(col: Column) -> Column:
+    """``{+var}`` / ``{#var}`` expansion: keep reserved + unreserved chars and
+    existing pct-triplets; encode only illegal chars (space, quotes, <>, etc.).
+    """
+    out = col
+    for ch, enc in ((" ", "%20"), ('"', "%22"), ("<", "%3C"), (">", "%3E"),
+                    ("\\", "%5C"), ("^", "%5E"), ("`", "%60"), ("{", "%7B"),
+                    ("|", "%7C"), ("}", "%7D")):
+        out = F.replace(out, F.lit(ch), F.lit(enc))
+    return out
+
+
+def parse_template(template: str) -> list[tuple[str, str, list[str]]]:
+    """Split a template into [('lit', text, []) | ('expr', op, [vars])]."""
+    parts: list[tuple[str, str, list[str]]] = []
+    pos = 0
+    for m in _EXPR_RE.finditer(template):
+        if m.start() > pos:
+            parts.append(("lit", template[pos:m.start()], []))
+        op = m.group(1)
+        varnames = [v.split(":")[0].rstrip("*") for v in m.group(2).split(",")]
+        parts.append(("expr", op, varnames))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(("lit", template[pos:], []))
+    return parts
+
+
+def variables(template: str) -> set[str]:
+    return {v for kind, _, vs in parse_template(template) if kind == "expr" for v in vs}
+
+
+def compile_template(template: str, row_record: Mapping[str, Column],
+                     base: str = "") -> Column:
+    """Compile a URI template to one Column expression.
+
+    ``row_record`` maps variable name → Column of the *string* cell value
+    (parsed lexical form, per the reference's rowRecord fill at
+    convertor.ts:687-699). Missing variables expand to '' (undefined in
+    RFC 6570). If every variable of the expansion is NULL the whole result is
+    NULL only when the template is a single bare expression — matching the
+    reference where an aboutUrl of a null cell still expands with '' for the
+    missing var.
+
+    Base-IRI resolution happens at the driver for the literal head; relative
+    templates get the base prefixed (cheap approximation of url.resolve,
+    sufficient for fragment/relative-path templates in the corpus).
+    """
+    parts = parse_template(template)
+    cols: list[Column] = []
+    for kind, op, vs in parts:
+        if kind == "lit":
+            cols.append(F.lit(op))
+            continue
+        first = True
+        for v in vs:
+            if not first:
+                cols.append(F.lit(","))
+            first = False
+            val = row_record.get(v)
+            if val is None:
+                continue  # undefined variable → empty expansion
+            sval = F.coalesce(val.cast("string"), F.lit(""))
+            if op == "+":
+                cols.append(_encode_reserved_ok(sval))
+            elif op == "#":
+                cols.append(F.concat(F.lit("#"), _encode_reserved_ok(sval)))
+            else:
+                cols.append(pct_encode(sval))
+    out = F.concat(*cols) if cols else F.lit("")
+    if base and not re.match(r"^[A-Za-z][\w+.-]*:", template):
+        # RFC 3986 resolution against base, decided on the *expanded* value:
+        # absolute IRIs pass through, '#frag' appends to base, relative paths
+        # resolve against the base directory.
+        absolute = out.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+        out = (
+            F.when(absolute, out)
+            .when(out.startswith("#"), F.concat(F.lit(base), out))
+            .otherwise(F.concat(F.lit(_dir_of(base)), out))
+        )
+    return out
+
+
+def _dir_of(base: str) -> str:
+    return base.rsplit("/", 1)[0] + "/" if "/" in base else base
+
+
+def inverse_template_regex(template: str) -> str:
+    """Named-group regex matching an expanded template — used by rdf2csvw to
+    trim URI values back to cell values (reference: utils/url-trimming.ts:3-52,
+    rdf2csvw/create-query.ts:275-313)."""
+    out = []
+    pos = 0
+    for m in _EXPR_RE.finditer(template):
+        out.append(re.escape(template[pos:m.start()]))
+        var = m.group(2).split(",")[0].split(":")[0].rstrip("*")
+        safe = re.sub(r"\W", "_", var)
+        out.append(f"(?P<{safe}>.*?)" if m.group(1) in ("+", "#") else f"(?P<{safe}>[^/?#]*?)")
+        pos = m.end()
+    out.append(re.escape(template[pos:]))
+    return "^" + "".join(out) + "$"

@@ -1,0 +1,268 @@
+"""csvw2rdf: compile a TableSpec over a DataFrame into a triples DataFrame.
+
+The reference walks rows one at a time on a single Node thread
+(csvw2rdf/convertor.ts:611-806: convertTableRow → convertRowCell →
+emitTriple). Here the whole table compiles into ONE declarative plan:
+
+    scan → row numbering → per-column cell exprs (P1–P10)
+         → per-column array<triple-struct> (T1–T4, T6)
+         → one wide→long ``explode(flatten(...))`` (T5)
+         → union standard-mode scaffolding (T7) → triples DF
+
+All branching on the mapping spec happens at plan-build time; the executed
+plan is a straight projection inside whole-stage codegen. The only shuffle a
+table conversion can introduce is the optional global ``row_number`` (used
+for small fixture parity); at scale, numbering is partitioned by a grouping
+key (e.g. ``conv_id``) or taken from an existing ordinal column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import cells
+from ..functions.terms import iri_object, literal_object, skolem, triple
+from ..functions.uritemplate import compile_template
+from ..spec import CSVW, RDF, XSD, ColumnSpec, TableSpec, expand_iri
+
+RDF_FIRST = RDF + "first"
+RDF_REST = RDF + "rest"
+RDF_NIL = RDF + "nil"
+RDF_TYPE = RDF + "type"
+
+_ROW = "__row"
+_SRC_ROW = "__source_row"
+_EMPTY_TRIPLES = "array<struct<subj:string,pred:string,obj_lex:string,obj_kind:string,obj_dtype:string,obj_lang:string,graph:string>>"
+
+
+def _resolve_url(table: TableSpec) -> str:
+    return expand_iri(table.url, table.base) if table.base else table.url
+
+
+def _row_numbers(df: DataFrame, table: TableSpec,
+                 partition_by: str | None = None) -> DataFrame:
+    """1-based logical row number (reference rowNum: convertor.ts:360-370).
+
+    ``order_by`` column → deterministic numbering; with ``partition_by`` the
+    sort is per-partition (scale path, no global shuffle to one reducer).
+    Without ``order_by``: arrival order via a per-partition monotonic id
+    (fixture-parity only — testdata fixtures always pass order_by).
+    """
+    if table.order_by:
+        if partition_by:
+            w = Window.partitionBy(partition_by).orderBy(table.order_by)
+        else:
+            w = Window.orderBy(table.order_by)
+        rn = F.row_number().over(w)
+    else:
+        rn = F.monotonically_increasing_id() + 1
+    df = df.withColumn(_ROW, rn.cast("long"))
+    return df.withColumn(_SRC_ROW, F.col(_ROW) + F.lit(table.source_row_offset))
+
+
+def _default_subject(table_url: str) -> Column:
+    """Per-row default cell subject (fresh bnode in the reference,
+    convertor.ts:683 → deterministic skolem of (table, row))."""
+    return skolem(table_url, "cellsubj", F.col(_ROW))
+
+
+def _row_node(table_url: str) -> Column:
+    """Standard-mode row node (convertor.ts:619)."""
+    return skolem(table_url, "row", F.col(_ROW))
+
+
+def _predicate(col: ColumnSpec, table: TableSpec, record: dict[str, Column]) -> Column:
+    """T3: propertyUrl template, else ``tableUrl#name`` (convertor.ts:760-762)."""
+    url = _resolve_url(table)
+    if col.propertyUrl:
+        if "{" in col.propertyUrl:
+            return compile_template(col.propertyUrl, record, base=url)
+        return F.lit(expand_iri(col.propertyUrl, url))
+    return F.lit(f"{url}#{col.name}")
+
+
+def _object_parts(col: ColumnSpec, item: Column, table: TableSpec,
+                  record: dict[str, Column]):
+    """T4: valueUrl ⇒ IRI object (even for typed columns); else literal with
+    datatype/lang; invalid values demoted to plain string (P10,
+    convertor.ts:772-805, 923-939)."""
+    url = _resolve_url(table)
+    if col.valueUrl:
+        rec = dict(record)
+        rec[col.name] = cells.strip_invalid(item)
+        if "{" in col.valueUrl:
+            return iri_object(compile_template(col.valueUrl, rec, base=url))
+        return iri_object(F.lit(expand_iri(col.valueUrl, url)))
+    dtype_iri = col.datatype.iri
+    lex = cells.strip_invalid(item)
+    dtype = F.when(cells.is_invalid(item), F.lit(XSD + "string")).otherwise(F.lit(dtype_iri))
+    lang = F.lit(col.lang or "") if dtype_iri == XSD + "string" else F.lit("")
+    lang = F.when(cells.is_invalid(item), F.lit("")).otherwise(lang)
+    return literal_object(lex, dtype, lang)
+
+
+def _column_triples(col: ColumnSpec, values: Column, table: TableSpec,
+                    record: dict[str, Column]) -> Column:
+    """array<triple-struct> for one column of one row (≤1 per value; a chain
+    of 2·n+1 for ordered lists, T6 convertor.ts:836-854)."""
+    url = _resolve_url(table)
+    subj = (compile_template(col.aboutUrl, record, base=url)
+            if col.aboutUrl else _default_subject(url))
+    pred = _predicate(col, table, record)
+
+    def value_triple(item: Column) -> Column:
+        return triple(subj, pred, *_object_parts(col, item, table, record))
+
+    if col.separator is not None and col.ordered:
+        # RDF collection: head link + first/rest chain of skolemized nodes
+        node = lambda i: skolem(url, "list", col.name, F.col(_ROW), i)  # noqa: E731
+        n = F.size(values)
+        head = triple(subj, pred,
+                      F.when(n == 0, F.lit(RDF_NIL)).otherwise(node(F.lit(0))),
+                      F.when(n == 0, F.lit("iri")).otherwise(F.lit("bnode")),
+                      F.lit(""), F.lit(""))
+        firsts = F.transform(values, lambda x, i: triple(
+            node(i), F.lit(RDF_FIRST), *_object_parts(col, x, table, record)))
+        rests = F.transform(values, lambda x, i: triple(
+            node(i), F.lit(RDF_REST),
+            F.when(i == n - 1, F.lit(RDF_NIL)).otherwise(node(i + 1)),
+            F.when(i == n - 1, F.lit("iri")).otherwise(F.lit("bnode")),
+            F.lit(""), F.lit("")))
+        out = F.concat(F.array(head), firsts, rests)
+    else:
+        out = F.transform(values, value_triple)
+
+    # null cell (NULL array) → no triples
+    return F.when(values.isNull(), F.array().cast(_EMPTY_TRIPLES)).otherwise(out)
+
+
+def _row_record(table: TableSpec, parsed: dict[str, Column]) -> dict[str, Column]:
+    """Template variable bindings: every column's parsed value (joined for
+    lists) + the ``_row``/``_sourceRow`` specials (convertor.ts:687-699).
+    ``_name``/``_column``/``_sourceColumn`` are bound per column at use site.
+    """
+    rec: dict[str, Column] = {}
+    for col in table.columns:
+        if col.name in parsed:
+            vals = parsed[col.name]
+            rec[col.name] = cells.strip_invalid(F.array_join(vals, ","))
+    rec["_row"] = F.col(_ROW).cast("string")
+    rec["_sourceRow"] = F.col(_SRC_ROW).cast("string")
+    return rec
+
+
+def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
+                     partition_by: str | None = None) -> DataFrame:
+    """Compile and run the full table conversion; returns the triples DF."""
+    if table.suppressOutput:
+        return df.sparkSession.createDataFrame(
+            [], "subj string, pred string, obj_lex string, obj_kind string, "
+                "obj_dtype string, obj_lang string, graph string")
+
+    url = _resolve_url(table)
+    df = _row_numbers(df, table, partition_by)
+
+    # P1–P10 per physical column → array<string> of canonical lexicals
+    parsed: dict[str, Column] = {}
+    for col in table.columns:
+        if col.virtual:
+            # virtual column: no physical cell; templates drive everything,
+            # the "value" is the (constant) default ('' unless given)
+            parsed[col.name] = F.array(F.lit(col.default))
+        else:
+            src = col.source or col.name
+            if src not in df.columns:
+                raise KeyError(f"source column {src!r} for {col.name!r} not in DataFrame")
+            parsed[col.name] = cells.cell_values(F.col(src), col)
+
+    record = _row_record(table, parsed)
+    per_col = [
+        _column_triples(col, parsed[col.name], table,
+                        {**record, "_name": F.lit(col.name),
+                         "_column": F.lit(str(i + 1)),
+                         "_sourceColumn": F.lit(str(i + 1 + table.dialect.skipColumns))})
+        for i, col in enumerate(table.columns) if not col.suppressOutput
+    ]
+
+    if minimal:
+        arrays = F.flatten(F.array(*per_col)) if per_col else F.array().cast(_EMPTY_TRIPLES)
+        out = df.select(F.explode(arrays).alias("t")).select("t.*")
+        return out
+
+    # standard mode (T7): row scaffolding emitted from the same single pass
+    row_node = _row_node(url)
+    table_node = skolem(url, "table")
+    scaffold = [
+        F.array(
+            triple(table_node, F.lit(CSVW + "row"), row_node, F.lit("bnode"), F.lit(""), F.lit("")),
+            triple(row_node, F.lit(RDF_TYPE), F.lit(CSVW + "Row"), F.lit("iri"), F.lit(""), F.lit("")),
+            triple(row_node, F.lit(CSVW + "rownum"), F.col(_ROW).cast("string"),
+                   F.lit("literal"), F.lit(XSD + "integer"), F.lit("")),
+            triple(row_node, F.lit(CSVW + "url"),
+                   F.concat(F.lit(url + "#row="), F.col(_SRC_ROW).cast("string")),
+                   F.lit("iri"), F.lit(""), F.lit("")),
+        )
+    ]
+    # csvw:describes → each distinct subject of the row (deduped by template)
+    seen: set[str] = set()
+    for col in table.columns:
+        if col.suppressOutput:
+            continue
+        key = col.aboutUrl or ""
+        if key in seen:
+            continue
+        seen.add(key)
+        subj = (compile_template(col.aboutUrl, {**record, "_name": F.lit(col.name)}, base=url)
+                if col.aboutUrl else _default_subject(url))
+        kind = F.lit("iri") if col.aboutUrl else F.lit("bnode")
+        scaffold.append(F.array(triple(row_node, F.lit(CSVW + "describes"), subj, kind,
+                                       F.lit(""), F.lit(""))))
+
+    arrays = F.flatten(F.array(*(per_col + scaffold)))
+    row_triples = df.select(F.explode(arrays).alias("t")).select("t.*")
+
+    spark = df.sparkSession
+    group_node_id = "_:skgroup"
+    table_consts = spark.range(1).select(
+        F.explode(F.array(
+            triple(table_node, F.lit(RDF_TYPE), F.lit(CSVW + "Table"), F.lit("iri"), F.lit(""), F.lit("")),
+            triple(table_node, F.lit(CSVW + "url"), F.lit(url), F.lit("iri"), F.lit(""), F.lit("")),
+            triple(F.lit(group_node_id), F.lit(RDF_TYPE), F.lit(CSVW + "TableGroup"), F.lit("iri"), F.lit(""), F.lit("")),
+            triple(F.lit(group_node_id), F.lit(CSVW + "table"), table_node, F.lit("bnode"), F.lit(""), F.lit("")),
+        )).alias("t")).select("t.*")
+    return row_triples.unionByName(table_consts)
+
+
+def group_to_triples(dfs: dict[str, DataFrame], group, *, minimal: bool = True) -> DataFrame:
+    """Convert every (non-suppressed) table of a TableGroupSpec and union."""
+    out: DataFrame | None = None
+    for t in group.tables:
+        if t.suppressOutput:
+            continue
+        part = table_to_triples(dfs[t.url], t, minimal=minimal)
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("no unsuppressed tables")
+    return out
+
+
+def issues(df: DataFrame, table: TableSpec) -> DataFrame:
+    """Side-output issues DF: required-cell violations with (table,row,column)
+    location (reference: utils/issue-tracker.ts:34-126)."""
+    df = _row_numbers(df, table)
+    checks = []
+    for col in table.columns:
+        if col.virtual or not col.required:
+            continue
+        src = col.source or col.name
+        checks.append(F.when(
+            cells.required_violation(F.col(src), col),
+            F.struct(F.lit(table.url).alias("table"), F.col(_ROW).alias("row"),
+                     F.lit(col.name).alias("column"),
+                     F.lit("required cell is null").alias("message"))))
+    if not checks:
+        return df.sparkSession.createDataFrame(
+            [], "table string, row long, column string, message string")
+    arr = F.array_compact(F.array(*checks))
+    return df.select(F.explode(arr).alias("i")).select("i.*")

@@ -1,0 +1,162 @@
+"""rdf2csvw: schema inference over a triples DF + BGP-join row reconstruction.
+
+Reference: packages/core/src/lib/rdf2csvw/schema-inferrer.ts (aggregation
+operators A1–A5 of SURVEY.md §2.5) and rdf2csvw/create-query.ts (join
+operators J1–J4 of §2.4). The reference loads quads into an in-memory
+Quadstore and runs generated SPARQL through Comunica over a sliding window;
+here the "store" is just the distributed triples DataFrame and BGP matching
+is plain equi-joins planned by Catalyst — the window machinery (J6/W2) is
+unnecessary because full-relation joins subsume it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..spec import RDF, XSD
+
+RDF_TYPE = RDF + "type"
+LABEL_PREDS = (
+    "http://www.w3.org/2004/02/skos/core#prefLabel",
+    "http://www.w3.org/2000/01/rdf-schema#label",
+)
+
+#: datatype subtype tree (reference: utils/prefix.ts:156-221, subset) used
+#: for the lattice-LCA datatype merge (A3).
+_PARENT: dict[str, str] = {
+    XSD + "integer": XSD + "decimal",
+    XSD + "long": XSD + "integer",
+    XSD + "int": XSD + "long",
+    XSD + "short": XSD + "int",
+    XSD + "byte": XSD + "short",
+    XSD + "nonNegativeInteger": XSD + "integer",
+    XSD + "positiveInteger": XSD + "nonNegativeInteger",
+    XSD + "unsignedLong": XSD + "nonNegativeInteger",
+    XSD + "unsignedInt": XSD + "unsignedLong",
+    XSD + "unsignedShort": XSD + "unsignedInt",
+    XSD + "unsignedByte": XSD + "unsignedShort",
+    XSD + "nonPositiveInteger": XSD + "integer",
+    XSD + "negativeInteger": XSD + "nonPositiveInteger",
+    XSD + "decimal": XSD + "anyAtomicType",
+    XSD + "double": XSD + "anyAtomicType",
+    XSD + "float": XSD + "double",
+    XSD + "dateTimeStamp": XSD + "dateTime",
+    XSD + "dateTime": XSD + "anyAtomicType",
+    XSD + "date": XSD + "anyAtomicType",
+    XSD + "normalizedString": XSD + "string",
+    XSD + "token": XSD + "normalizedString",
+    XSD + "language": XSD + "token",
+    XSD + "string": XSD + "anyAtomicType",
+}
+ANY_ATOMIC = XSD + "anyAtomicType"
+
+
+def _ancestors(t: str) -> list[str]:
+    out = [t]
+    while t in _PARENT:
+        t = _PARENT[t]
+        out.append(t)
+    if out[-1] != ANY_ATOMIC:
+        out.append(ANY_ATOMIC)
+    return out
+
+
+def merge_datatypes(types: list[str]) -> str:
+    """Lattice LCA of observed datatypes (reference: table-schema.ts:82-115)."""
+    types = [t or XSD + "string" for t in types]
+    if not types:
+        return XSD + "string"
+    common = None
+    for t in types:
+        chain = _ancestors(t)
+        if common is None:
+            common = chain
+        else:
+            keep = set(chain)
+            common = [c for c in common if c in keep]
+    return common[0] if common else ANY_ATOMIC
+
+
+# --- A1/A2/A3/A4: schema inference aggregates --------------------------------
+
+def subjects_by_type(triples: DataFrame) -> DataFrame:
+    """A1: one inferred table per rdf:type object; untyped subjects →
+    'unknown_type' bucket (schema-inferrer.ts:232-301)."""
+    typed = (triples.where(F.col("pred") == RDF_TYPE)
+             .select(F.col("subj"), F.col("obj_lex").alias("type_iri")))
+    untyped = (triples.select("subj").distinct()
+               .join(typed.select("subj").distinct(), "subj", "left_anti")
+               .withColumn("type_iri", F.lit("unknown_type")))
+    return typed.unionByName(untyped)
+
+
+def multivalued_predicates(triples: DataFrame) -> DataFrame:
+    """A2: predicates needing a link table — >1 value for some subject
+    (schema-inferrer.ts:135-197; the limit-2 probe W3 becomes count>1)."""
+    return (triples.groupBy("subj", "pred").agg(F.count("*").alias("n"))
+            .groupBy("pred").agg(F.max("n").alias("max_per_subject"))
+            .withColumn("multivalued", F.col("max_per_subject") > 1))
+
+
+def merged_column_datatypes(triples: DataFrame) -> DataFrame:
+    """A3: per-predicate datatype = lattice LCA of observed literal datatypes."""
+    observed = (triples.where(F.col("obj_kind") == "literal")
+                .groupBy("pred")
+                .agg(F.array_sort(F.collect_set(
+                    F.when(F.col("obj_dtype") == "", XSD + "string")
+                     .otherwise(F.col("obj_dtype")))).alias("dtypes")))
+    rows = observed.collect()  # predicate cardinality is tiny metadata
+    spark = triples.sparkSession
+    return spark.createDataFrame(
+        [(r["pred"], merge_datatypes(list(r["dtypes"]))) for r in rows],
+        "pred string, merged_dtype string")
+
+
+def common_uri_template(triples: DataFrame) -> DataFrame:
+    """A4: longest common prefix of a column's IRIs → URI template.
+
+    LCP(set) = LCP(min, max) — so one min/max aggregate per predicate feeds a
+    driver-side LCP (schema-inferrer.ts:367-403).
+    """
+    return (triples.where(F.col("obj_kind") == "iri")
+            .groupBy("pred")
+            .agg(F.min("obj_lex").alias("lo"), F.max("obj_lex").alias("hi")))
+
+
+def labels(triples: DataFrame) -> DataFrame:
+    """A5: best label per subject with predicate-priority ranking
+    (schema-inferrer.ts:303-353) — a groupBy + row_number window."""
+    from pyspark.sql import Window
+    pri = F.when(F.col("pred") == LABEL_PREDS[0], 0).when(
+        F.col("pred") == LABEL_PREDS[1], 1).otherwise(2)
+    lab = (triples.where(F.col("pred").isin(*LABEL_PREDS))
+           .withColumn("pri", pri)
+           .withColumn("rk", F.row_number().over(
+               Window.partitionBy("subj").orderBy("pri", "obj_lex"))))
+    return lab.where(F.col("rk") == 1).select("subj", F.col("obj_lex").alias("label"))
+
+
+# --- J1–J3: BGP matching as joins --------------------------------------------
+
+@dataclass(frozen=True)
+class TriplePattern:
+    """One column's pattern: bind ?value where (?subj, pred, ?value)."""
+    name: str
+    pred: str
+    required: bool = False
+
+
+def match_patterns(triples: DataFrame, patterns: list[TriplePattern]) -> DataFrame:
+    """Reconstruct rows: seed = DISTINCT subjects (J3 guard, create-query.ts:
+    133-137), then one join per pattern — inner for required (J1), left for
+    OPTIONAL (J2). Catalyst broadcasts the small filtered slices."""
+    seed = triples.select("subj").distinct()
+    out = seed
+    for p in patterns:
+        side = (triples.where(F.col("pred") == p.pred)
+                .select(F.col("subj"), F.col("obj_lex").alias(p.name)))
+        out = out.join(side, "subj", "inner" if p.required else "left")
+    return out

@@ -1,0 +1,357 @@
+"""Mapping-spec data model: the driver-side "program" that a CSVW descriptor
+compiles to.
+
+The reference normalizes a JSON-LD CSVW descriptor (TableGroup → Table →
+Schema → Column + Dialect + Datatype) and cascades inherited properties
+(reference: packages/core/src/lib/descriptor.ts:248-285, types under
+packages/core/src/lib/types/descriptor/*). We resolve all of that on the
+driver into flat, immutable per-column specs *before* any Spark job runs;
+executors only ever see compiled Column expressions (and a broadcast spec for
+the pandas-UDF paths).
+
+Only the compacted-form descriptor subset exercised by the CSVW fixtures is
+supported (full jsonld expand/compact parity is out of scope — SURVEY.md §7.3.5).
+"""
+
+from __future__ import annotations
+
+import re
+import urllib.parse
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+# --- namespaces ------------------------------------------------------------
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+CSVW = "http://www.w3.org/ns/csvw#"
+
+#: RDFa 1.1 initial-context prefixes (subset; reference embeds the same list
+#: at packages/core/src/lib/utils/prefix.ts:13-61 — public W3C data).
+PREFIXES: dict[str, str] = {
+    "csvw": CSVW,
+    "rdf": RDF,
+    "rdfs": RDFS,
+    "xsd": XSD,
+    "dc": "http://purl.org/dc/terms/",
+    "dcterms": "http://purl.org/dc/terms/",
+    "dc11": "http://purl.org/dc/elements/1.1/",
+    "dcat": "http://www.w3.org/ns/dcat#",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "schema": "http://schema.org/",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "prov": "http://www.w3.org/ns/prov#",
+    "qb": "http://purl.org/linked-data/cube#",
+    "void": "http://rdfs.org/ns/void#",
+    "sioc": "http://rdfs.org/sioc/ns#",
+    "vcard": "http://www.w3.org/2006/vcard/ns#",
+    "org": "http://www.w3.org/ns/org#",
+    "time": "http://www.w3.org/2006/time#",
+    "wgs84": "http://www.w3.org/2003/01/geo/wgs84_pos#",
+    "xhv": "http://www.w3.org/1999/xhtml/vocab#",
+}
+
+#: CSVW builtin datatype → datatype IRI.  Mirrors the reference's mapping
+#: incl. aliases number→double, binary→base64Binary, datetime→dateTime,
+#: any→anyAtomicType, json→csvw:JSON, xml→rdf:XMLLiteral, html→rdf:HTML
+#: (reference: packages/core/src/lib/utils/prefix.ts:100-148).
+_XSD_TYPES = [
+    "anyAtomicType", "anyURI", "base64Binary", "boolean", "byte", "date",
+    "dateTime", "dateTimeStamp", "dayTimeDuration", "decimal", "double",
+    "duration", "float", "gDay", "gMonth", "gMonthDay", "gYear", "gYearMonth",
+    "hexBinary", "int", "integer", "language", "long", "Name", "NCName",
+    "negativeInteger", "NMTOKEN", "nonNegativeInteger", "nonPositiveInteger",
+    "normalizedString", "positiveInteger", "QName", "short", "string", "time",
+    "token", "unsignedByte", "unsignedInt", "unsignedLong", "unsignedShort",
+    "yearMonthDuration",
+]
+DATATYPE_URIS: dict[str, str] = {t: XSD + t for t in _XSD_TYPES}
+DATATYPE_URIS.update({
+    "number": XSD + "double",
+    "binary": XSD + "base64Binary",
+    "datetime": XSD + "dateTime",
+    "any": XSD + "anyAtomicType",
+    "json": CSVW + "JSON",
+    "xml": RDF + "XMLLiteral",
+    "html": RDF + "HTML",
+})
+
+#: Value-space groupings (reference: utils/prefix.ts:65-98).
+NUMERIC_TYPES = {
+    "decimal", "integer", "long", "int", "short", "byte", "nonNegativeInteger",
+    "positiveInteger", "unsignedLong", "unsignedInt", "unsignedShort",
+    "unsignedByte", "nonPositiveInteger", "negativeInteger", "double",
+    "float", "number",
+}
+DATE_TYPES = {"date", "dateTime", "datetime", "dateTimeStamp", "time"}
+#: Types exempt from whitespace collapsing (reference: csvw2rdf/convertor.ts:78-85).
+WS_EXEMPT_TYPES = {"string", "json", "xml", "html", "anyAtomicType", "any"}
+
+#: Invalid-value sentinel (reference: utils/prefix.ts:222).
+INVALID_SENTINEL = "@@invalid@@"
+
+#: Inherited properties, cascading TableGroup → Table → Schema → Column
+#: (reference: descriptor.ts:248-285).
+INHERITED_PROPS = (
+    "aboutUrl", "datatype", "default", "lang", "null", "ordered",
+    "propertyUrl", "required", "separator", "textDirection", "valueUrl",
+)
+
+
+def expand_iri(value: str, base: str = "") -> str:
+    """Expand a prefixed name (``skos:Concept``) or resolve against base.
+
+    Reference: utils/expand-iri.ts:8-18.
+    """
+    m = re.match(r"^([A-Za-z][\w.-]*):(?!//)(.*)$", value)
+    if m and m.group(1) in PREFIXES:
+        return PREFIXES[m.group(1)] + m.group(2)
+    if re.match(r"^[A-Za-z][\w+.-]*://", value) or value.startswith("urn:"):
+        return value
+    if base:
+        return urllib.parse.urljoin(base, value)
+    return value
+
+
+def datatype_iri(base: str) -> str:
+    return DATATYPE_URIS.get(base, XSD + "string")
+
+
+def encode_column_name(title: str) -> str:
+    """Percent-encode a column title into a name, with ``-`` → ``%2D``.
+
+    Reference: csvw2rdf/convertor.ts:589.
+    """
+    return urllib.parse.quote(title, safe="").replace("-", "%2D")
+
+
+# --- dataclasses -----------------------------------------------------------
+
+@dataclass(frozen=True)
+class DatatypeSpec:
+    """CSVW datatype description (reference: types/descriptor/datatype.ts:53-106)."""
+
+    base: str = "string"
+    format: Any = None          # str regex / bool pairs / number pattern / date fmt
+    length: int | None = None
+    minLength: int | None = None
+    maxLength: int | None = None
+    minimum: Any = None
+    maximum: Any = None
+    minExclusive: Any = None
+    maxExclusive: Any = None
+
+    @property
+    def iri(self) -> str:
+        return datatype_iri(self.base)
+
+    @staticmethod
+    def parse(raw: Any) -> "DatatypeSpec":
+        if raw is None:
+            return DatatypeSpec()
+        if isinstance(raw, str):
+            return DatatypeSpec(base=raw)
+        kwargs = {k: raw[k] for k in (
+            "base", "format", "length", "minLength", "maxLength", "minimum",
+            "maximum", "minExclusive", "maxExclusive") if k in raw}
+        kwargs.setdefault("base", "string")
+        return DatatypeSpec(**kwargs)
+
+
+@dataclass(frozen=True)
+class DialectSpec:
+    """CSV dialect (reference: types/descriptor/dialect-description.ts:4-65)."""
+
+    delimiter: str = ","
+    quoteChar: str | None = '"'
+    doubleQuote: bool = True      # False → backslash escape
+    commentPrefix: str | None = None
+    encoding: str = "utf-8"
+    header: bool = True
+    headerRowCount: int | None = None
+    lineTerminators: tuple[str, ...] = ("\r\n", "\n")
+    skipRows: int = 0
+    skipColumns: int = 0
+    skipBlankRows: bool = False
+    skipInitialSpace: bool = False
+    trim: Any = False             # True/False/'start'/'end'
+
+    @property
+    def header_row_count(self) -> int:
+        if self.headerRowCount is not None:
+            return self.headerRowCount
+        return 1 if self.header else 0
+
+    @staticmethod
+    def parse(raw: dict | None) -> "DialectSpec":
+        if not raw:
+            return DialectSpec()
+        kwargs = {k: raw[k] for k in (
+            "delimiter", "quoteChar", "doubleQuote", "commentPrefix",
+            "encoding", "header", "headerRowCount", "skipRows", "skipColumns",
+            "skipBlankRows", "skipInitialSpace", "trim") if k in raw}
+        if "lineTerminators" in raw:
+            lt = raw["lineTerminators"]
+            kwargs["lineTerminators"] = tuple([lt] if isinstance(lt, str) else lt)
+        return DialectSpec(**kwargs)
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One column's fully-resolved mapping (inheritance already applied).
+
+    Reference: types/descriptor/column-description.ts:11-41 +
+    inherited-properties.ts:6-51.
+    """
+
+    name: str
+    titles: tuple[str, ...] = ()
+    datatype: DatatypeSpec = field(default_factory=DatatypeSpec)
+    aboutUrl: str | None = None
+    propertyUrl: str | None = None
+    valueUrl: str | None = None
+    default: str = ""
+    null: tuple[str, ...] = ("",)
+    lang: str | None = None
+    ordered: bool = False
+    required: bool = False
+    separator: str | None = None
+    suppressOutput: bool = False
+    virtual: bool = False
+    textDirection: str = "auto"
+    #: physical source column name in the input DataFrame (None for virtual)
+    source: str | None = None
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    url: str
+    columns: tuple[ColumnSpec, ...]
+    dialect: DialectSpec = field(default_factory=DialectSpec)
+    suppressOutput: bool = False
+    primaryKey: tuple[str, ...] = ()
+    rowTitles: tuple[str, ...] = ()
+    base: str = ""
+    notes: Any = None
+    #: name of an ordering column for stable row numbering; None → file order
+    order_by: str | None = None
+
+    @property
+    def source_row_offset(self) -> int:
+        """csvw:url row offset = headerRowCount + skipRows (convertor.ts:374-378)."""
+        return self.dialect.header_row_count + self.dialect.skipRows
+
+
+@dataclass(frozen=True)
+class TableGroupSpec:
+    tables: tuple[TableSpec, ...]
+    base: str = ""
+
+
+# --- descriptor parsing ----------------------------------------------------
+
+def _merge_inherited(child: dict, parent: dict) -> dict:
+    out = dict(child)
+    for k in INHERITED_PROPS:
+        if k not in out and k in parent:
+            out[k] = parent[k]
+    return out
+
+
+def _coerce_titles(raw: Any) -> tuple[str, ...]:
+    if raw is None:
+        return ()
+    if isinstance(raw, str):
+        return (raw,)
+    if isinstance(raw, list):
+        return tuple(raw)
+    if isinstance(raw, dict):  # language map {lang: [titles]}
+        out: list[str] = []
+        for v in raw.values():
+            out.extend([v] if isinstance(v, str) else v)
+        return tuple(out)
+    raise ValueError(f"bad titles: {raw!r}")
+
+
+def parse_column(raw: dict, index: int, inherited: dict, base: str = "") -> ColumnSpec:
+    """Column name derivation + inheritance (reference: convertor.ts:566-604)."""
+    merged = _merge_inherited(raw, inherited)
+    titles = _coerce_titles(merged.get("titles"))
+    name = merged.get("name")
+    if not name:
+        name = encode_column_name(titles[0]) if titles else f"_col.{index + 1}"
+    nulls = merged.get("null", "")
+    if isinstance(nulls, str):
+        nulls = (nulls,)
+    else:
+        nulls = tuple(nulls)
+    return ColumnSpec(
+        name=name,
+        titles=titles,
+        datatype=DatatypeSpec.parse(merged.get("datatype")),
+        aboutUrl=merged.get("aboutUrl"),
+        propertyUrl=merged.get("propertyUrl"),
+        valueUrl=merged.get("valueUrl"),
+        default=str(merged.get("default", "")),
+        null=nulls,
+        lang=merged.get("lang"),
+        ordered=bool(merged.get("ordered", False)),
+        required=bool(merged.get("required", False)),
+        separator=merged.get("separator"),
+        suppressOutput=bool(merged.get("suppressOutput", False)),
+        virtual=bool(merged.get("virtual", False)),
+        textDirection=merged.get("textDirection", "auto"),
+        source=raw.get("source", raw.get("name") or (titles[0] if titles else None)),
+    )
+
+
+def parse_table(raw: dict, group_inherited: dict | None = None, base: str = "") -> TableSpec:
+    inherited = _merge_inherited(raw, group_inherited or {})
+    schema = raw.get("tableSchema", {})
+    inherited = _merge_inherited(schema, inherited)
+    cols = []
+    seen: set[str] = set()
+    for i, c in enumerate(schema.get("columns", [])):
+        col = parse_column(c, i, inherited, base)
+        if col.name in seen and not col.virtual:
+            raise ValueError(f"duplicate column name {col.name!r}")  # convertor.ts:594-604
+        seen.add(col.name)
+        cols.append(col)
+    # virtual columns must come after non-virtual ones (convertor.ts:429-437)
+    first_virtual = next((i for i, c in enumerate(cols) if c.virtual), len(cols))
+    if any(not c.virtual for c in cols[first_virtual:]):
+        raise ValueError("non-virtual column after virtual column")
+    pk = schema.get("primaryKey", ())
+    if isinstance(pk, str):
+        pk = (pk,)
+    return TableSpec(
+        url=raw.get("url", ""),
+        columns=tuple(cols),
+        dialect=DialectSpec.parse(raw.get("dialect")),
+        suppressOutput=bool(raw.get("suppressOutput", False)),
+        primaryKey=tuple(pk),
+        rowTitles=tuple(_coerce_titles(schema.get("rowTitles"))),
+        base=base,
+        notes=raw.get("notes"),
+        order_by=raw.get("order_by"),
+    )
+
+
+def parse_descriptor(raw: dict, base: str = "") -> TableGroupSpec:
+    """Parse a (compact-form) CSVW descriptor dict into a TableGroupSpec."""
+    if "tables" in raw:
+        inherited = {k: raw[k] for k in INHERITED_PROPS if k in raw}
+        dialect = raw.get("dialect")
+        tables = []
+        for t in raw["tables"]:
+            if dialect and "dialect" not in t:
+                t = {**t, "dialect": dialect}
+            tables.append(parse_table(t, inherited, base))
+        return TableGroupSpec(tables=tuple(tables), base=base)
+    return TableGroupSpec(tables=(parse_table(raw, {}, base),), base=base)
+
+
+def with_order(table: TableSpec, order_by: str) -> TableSpec:
+    return replace(table, order_by=order_by)
