@@ -1,0 +1,77 @@
+"""Connected components by iterative min-label propagation joins.
+
+Canonicalizes linked mentions: mentions sharing an entity (or a fuzzy-merged
+surface form) collapse to one canonical node = the component minimum.
+
+New relative to the reference (its identity resolution is only syntactic —
+shared aboutUrl template ⇒ same subject; SURVEY.md §4.3); required by the
+north rule ("canonicalizes mentions via iterative-join connected components
+with salted repartitioning by conv_id").
+
+Scale design:
+- each iteration = one equi-join + one min-aggregate; ``min`` is algebraic →
+  map-side partial aggregation absorbs hub-node skew before the shuffle, and
+  an explicit salt column splits the reduce-side key for pathological hubs;
+- lineage is cut every iteration with ``localCheckpoint`` (SURVEY.md §4.3 —
+  on a cluster this would be an Iceberg temp-table or checkpoint dir, same
+  contract);
+- convergence is detected with a changed-label count; alias/mention graphs
+  are star-like (diameter ≤ ~4) so a handful of iterations suffice. For
+  graphs with long chains, swap in large-star/small-star (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14) — same join
+  primitives, O(log n) rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_SALTS = 16
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         eager_checkpoint: bool = True) -> DataFrame:
+    """edges(src:string, dst:string), undirected → (node, component).
+
+    component = lexicographic min node id of the component (deterministic,
+    retry-stable — no nondeterministic ids anywhere).
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.where(F.col("src") != F.col("dst")).distinct()
+    sym = sym.localCheckpoint(eager=eager_checkpoint)
+
+    labels = (sym.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("comp", F.col("node")))
+
+    for _ in range(max_iter):
+        # min label among neighbors — salted two-stage min to split hub keys
+        nbr = (sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+               .select(F.col("src").alias("node"), "comp",
+                       F.pmod(F.xxhash64("comp"), F.lit(N_SALTS)).alias("salt")))
+        partial = nbr.groupBy("node", "salt").agg(F.min("comp").alias("comp"))
+        nbr_min = partial.groupBy("node").agg(F.min("comp").alias("nbr_comp"))
+
+        new_labels = (labels.join(nbr_min, "node", "left")
+                      .select("node",
+                              F.least(F.col("comp"),
+                                      F.coalesce("nbr_comp", "comp")).alias("comp")))
+        new_labels = new_labels.localCheckpoint(eager=eager_checkpoint)
+
+        changed = (new_labels.withColumnRenamed("comp", "new_comp")
+                   .join(labels, "node")
+                   .where(F.col("new_comp") != F.col("comp"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_mapping(labels: DataFrame) -> DataFrame:
+    """(node → canonical) mapping, dropping identity rows to keep it small
+    for the broadcast-join application step."""
+    return (labels.where(F.col("node") != F.col("comp"))
+            .select(F.col("node"), F.col("comp").alias("canonical")))

@@ -1,0 +1,107 @@
+"""Entity-link scoring: mention → entity id.
+
+Two paths, mirroring the north rule:
+
+1. **Exact alias hit** (the common case — candidates came from the broadcast
+   dictionary in ``mentions.py``): disambiguate multi-candidate surface forms
+   ("Mercury": planet vs metal) by conversation-level candidate frequency —
+   a groupBy + window, all JVM-side. This generalizes the reference's purely
+   syntactic identity rule (shared aboutUrl template ⇒ same subject, J1).
+
+2. **Fuzzy fallback** for surface forms with no dictionary hit: MinHash-LSH
+   blocking of character shingles against the alias table (broadcast-sized),
+   exact-Jaccard rescoring of blocked candidates, threshold accept. The
+   blocking join is broadcast (alias side is small); scoring is pure column
+   expressions — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..ops.minhash import char_shingles, jaccard, lsh_bands, minhash_signature
+
+N_PERM = 32
+# 16 bands × 2 rows: P(block | jaccard=0.4) ≈ 0.94 — typo-level similarity
+# still reaches rescoring, while the exact-Jaccard threshold prunes noise
+N_BANDS = 16
+ROWS_PER_BAND = 2
+FUZZY_THRESHOLD = 0.35
+
+
+def link_exact(mentions: DataFrame) -> DataFrame:
+    """Resolve candidate sets by conv-level frequency voting.
+
+    Output: mentions + (entity_id, link_score). Hot conversations make the
+    (conv_id, entity) groupBy skewed → counts use a salted two-stage
+    aggregate (partial per salt, then final), per SURVEY.md §4.1.
+    """
+    cand = mentions.select(
+        "conv_id", "turn_idx", "mention", "mention_norm", "match_i",
+        F.explode("candidates").alias("entity_id"))
+
+    # salted two-stage count of entity support per conversation
+    salted = cand.withColumn("salt", F.pmod(F.xxhash64("turn_idx", "match_i"), F.lit(16)))
+    partial = salted.groupBy("conv_id", "entity_id", "salt").agg(F.count("*").alias("c"))
+    support = partial.groupBy("conv_id", "entity_id").agg(F.sum("c").alias("conv_support"))
+
+    scored = cand.join(support, ["conv_id", "entity_id"])
+    w = Window.partitionBy("conv_id", "turn_idx", "match_i").orderBy(
+        F.desc("conv_support"), F.asc("entity_id"))
+    total = F.sum("conv_support").over(
+        Window.partitionBy("conv_id", "turn_idx", "match_i"))
+    return (scored
+            .withColumn("link_score", F.col("conv_support").cast("double") / total)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("conv_id", "turn_idx", "mention", "mention_norm", "match_i",
+                    "entity_id", "link_score"))
+
+
+def alias_table(spark, dictionary: list[tuple[str, str, list[str]]]) -> DataFrame:
+    rows = [(ent, a.lower()) for ent, _n, al in dictionary for a in al]
+    return spark.createDataFrame(rows, "entity_id string, alias string").distinct()
+
+
+def link_fuzzy(unmatched: DataFrame,
+               aliases: DataFrame,
+               threshold: float = FUZZY_THRESHOLD) -> DataFrame:
+    """MinHash-LSH blocked fuzzy match of unknown surface forms.
+
+    ``unmatched``: mentions with empty candidates. ``aliases``: (entity_id,
+    alias) — dictionary-sized, broadcast. Bands join → candidate pairs →
+    exact char-3-gram Jaccard rescoring → best above threshold.
+    """
+    m = (unmatched.select("conv_id", "turn_idx", "mention", "mention_norm", "match_i")
+         .withColumn("m_sh", char_shingles(F.col("mention_norm")))
+         .withColumn("m_sig", minhash_signature(F.col("m_sh"), N_PERM)))
+    a = (aliases
+         .withColumn("a_sh", char_shingles(F.col("alias")))
+         .withColumn("a_sig", minhash_signature(F.col("a_sh"), N_PERM)))
+
+    m_bands = lsh_bands(m, "m_sig", N_BANDS, ROWS_PER_BAND,
+                        ["conv_id", "turn_idx", "match_i", "mention_norm", "m_sh"])
+    a_bands = lsh_bands(a, "a_sig", N_BANDS, ROWS_PER_BAND,
+                        ["entity_id", "alias", "a_sh"])
+
+    pairs = (m_bands.join(F.broadcast(a_bands), ["band", "band_key"])
+             .dropDuplicates(["conv_id", "turn_idx", "match_i", "entity_id", "alias"])
+             .withColumn("sim", jaccard(F.col("m_sh"), F.col("a_sh")))
+             .where(F.col("sim") >= threshold))
+    w = Window.partitionBy("conv_id", "turn_idx", "match_i").orderBy(
+        F.desc("sim"), F.asc("entity_id"), F.asc("alias"))
+    return (pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+            .select("conv_id", "turn_idx", "match_i", "mention_norm",
+                    "entity_id", F.col("sim").alias("link_score")))
+
+
+def link(mentions: DataFrame, aliases: DataFrame,
+         threshold: float = FUZZY_THRESHOLD) -> DataFrame:
+    """Full linking: exact path ∪ fuzzy fallback."""
+    exact = link_exact(mentions.where(F.size("candidates") > 0))
+    fuzz = link_fuzzy(
+        mentions.where(F.size("candidates") == 0), aliases, threshold
+    ).join(mentions.select("conv_id", "turn_idx", "match_i", "mention"),
+           ["conv_id", "turn_idx", "match_i"])
+    return exact.unionByName(fuzz.select(*exact.columns))

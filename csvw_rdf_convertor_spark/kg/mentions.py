@@ -1,0 +1,77 @@
+"""Batched mention detection over transcript text.
+
+Analogue of the reference's per-cell value extraction, generalized to
+free text: the broadcast alias dictionary plays the role the CSVW descriptor
+plays for tables (the "mapping program"), and detection runs in
+``mapInPandas`` — Arrow-batched, vectorized pandas string ops, no per-row
+Python function calls (north rule / input_hint requirement).
+
+The alias regex is compiled once per executor task batch from the broadcast
+dictionary; candidates are emitted with their span so downstream linking can
+score alternatives (e.g. "Mercury" → planet vs metal).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MENTION_SCHEMA = (
+    "conv_id string, turn_idx int, mention string, mention_norm string, "
+    "match_i int, candidates array<string>"
+)
+
+
+def _build_lookup(dictionary: list[tuple[str, str, list[str]]]):
+    """alias (lower) → candidate entity ids; plus one alternation regex."""
+    lookup: dict[str, list[str]] = {}
+    for ent_id, _name, aliases in dictionary:
+        for a in aliases:
+            lookup.setdefault(a.lower(), []).append(ent_id)
+    # longest-first alternation so "Mercury 12" beats "Mercury"
+    pat = "|".join(re.escape(a) for a in sorted(lookup, key=len, reverse=True))
+    rx = re.compile(f"(?i)\\b({pat})\\b")
+    return lookup, rx
+
+
+def detect_mentions(transcripts: DataFrame,
+                    dictionary: list[tuple[str, str, list[str]]]) -> DataFrame:
+    """(conv_id, turn_idx, mention, mention_norm, start, candidates).
+
+    ``transcripts`` may be pre-partitioned by conv_id; detection is a narrow
+    map (mapInPandas) — adds no shuffle.
+    """
+    spark = transcripts.sparkSession
+    bc = spark.sparkContext.broadcast(dictionary)
+
+    empty = pd.DataFrame(columns=["conv_id", "turn_idx", "mention",
+                                  "mention_norm", "match_i", "candidates"])
+
+    def find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lookup, rx = _build_lookup(bc.value)
+        for pdf in batches:
+            if pdf.empty:
+                yield empty
+                continue
+            pdf = pdf.reset_index(drop=True)
+            # one vectorized pass: every match of every row, MultiIndex
+            # (row_ordinal, match_ordinal) — no per-row Python loop
+            found = pdf["text"].str.extractall(rx)
+            if found.empty:
+                yield empty
+                continue
+            found = found.rename(columns={0: "mention"}).reset_index()
+            found["mention_norm"] = found["mention"].str.lower()
+            out = found.merge(
+                pdf[["conv_id", "turn_idx"]], left_on="level_0", right_index=True)
+            out["candidates"] = out["mention_norm"].map(lookup)
+            out = out.rename(columns={"match": "match_i"})
+            yield out[["conv_id", "turn_idx", "mention", "mention_norm",
+                       "match_i", "candidates"]]
+
+    return (transcripts.select("conv_id", "turn_idx", "text")
+            .mapInPandas(find, schema=MENTION_SCHEMA))
