@@ -1,0 +1,143 @@
+"""Text analysis for large-scale training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+Everything is a pure column expression (whole-stage codegen; no UDFs), so
+each metric is a narrow map over the documents table — no shuffle, scales
+linearly with input bytes, and is expressible 1:1 in ANSI SQL for the DuckDB
+oracle harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- token counting ----------------------------------------------------------
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokens."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored proxy: letter runs, single digits, single punctuation —
+    the standard pre-tokenizer shape (GPT-2-style regex, simplified)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0))
+
+
+# --- quality scoring ----------------------------------------------------------
+
+STOPWORDS_EN = ("the", "of", "and", "to", "in", "a", "is", "that", "for", "it")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / word-shape ratios (the usual
+    Gopher/C4-style filters)."""
+    n_chars = F.length(text)
+    tokens = token_count(text)
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_upper = F.length(text) - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    n_digit = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    stop_re = r"(?i)\b(" + "|".join(STOPWORDS_EN) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(text, F.lit(stop_re), 0))
+    safe = F.greatest(n_chars, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": tokens,
+        "punct_ratio": n_punct / safe,
+        "upper_ratio": n_upper / safe,
+        "digit_ratio": n_digit / safe,
+        "stopword_ratio": n_stop.cast("double") / F.greatest(tokens, F.lit(1)),
+        "mean_word_len": n_chars.cast("double") / F.greatest(tokens, F.lit(1)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar [0,1] quality heuristic: rewards stopword presence and sane
+    word length, penalizes punctuation/digit noise."""
+    f = quality_features(text)
+    score = (
+        F.lit(0.5)
+        + F.least(f["stopword_ratio"], F.lit(0.4))
+        - F.least(f["punct_ratio"], F.lit(0.3))
+        - F.least(f["digit_ratio"], F.lit(0.2))
+        - F.when((f["mean_word_len"] < 3) | (f["mean_word_len"] > 12),
+                 F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
+
+
+# --- language identification ---------------------------------------------------
+
+#: tiny per-language stopword sets for the n-gram/stopword-voting heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "that", "with"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "fr": ("le", "la", "les", "est", "une", "dans"),
+    "es": ("el", "los", "las", "es", "una", "por"),
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        rx = r"(?i)\b(" + "|".join(words) + r")\b"
+        out[lang] = F.size(F.regexp_extract_all(text, F.lit(rx), 0))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker-hit counts, 'und' when nothing matches.
+
+    Deterministic tie-break: language name ascending (matches the SQL oracle
+    formulation: ORDER BY hits DESC, lang ASC LIMIT 1).
+    """
+    scores = lang_scores(text)
+    pairs = F.array(*[F.struct(cnt.alias("hits"), F.lit(lang).alias("lang"))
+                      for lang, cnt in sorted(scores.items())])
+    red = F.reduce(
+        pairs,
+        F.struct(F.lit(-1).alias("hits"), F.lit("").alias("lang")),
+        lambda acc, p: F.when(
+            (p["hits"] > acc["hits"]), F.struct(p["hits"].alias("hits"), p["lang"].alias("lang"))
+        ).otherwise(acc),
+    )
+    return F.when(red["hits"] <= 0, F.lit("und")).otherwise(red["lang"])
+
+
+# --- document fingerprinting ----------------------------------------------------
+
+FNV_MOD = 2147483647  # 2^31 - 1
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash of the character stream,
+    mod 2^31-1 — a deterministic content fingerprint computable identically
+    in any engine (``list_reduce`` in DuckDB), unlike engine-native hash().
+    """
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * 31 + F.coalesce(F.ascii(c), F.lit(0)), F.lit(FNV_MOD)),
+    )
+
+
+def document_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All metrics in one narrow projection."""
+    t = F.col(text_col)
+    feats = quality_features(t)
+    return docs.select(
+        "*",
+        feats["n_tokens"].alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )
