@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions import cells
 from ..functions.terms import iri_object, literal_object, skolem, triple
-from ..functions.uritemplate import compile_template
+from ..functions.uritemplate import compile_template, variables
 from ..spec import CSVW, RDF, XSD, ColumnSpec, TableSpec, expand_iri
 
 RDF_FIRST = RDF + "first"
@@ -103,12 +103,16 @@ def _object_parts(col: ColumnSpec, item: Column, table: TableSpec,
 
 
 def _column_triples(col: ColumnSpec, values: Column, table: TableSpec,
-                    record: dict[str, Column]) -> Column:
+                    record: dict[str, Column],
+                    subjects: dict[str | None, Column] | None = None) -> Column:
     """array<triple-struct> for one column of one row (≤1 per value; a chain
     of 2·n+1 for ordered lists, T6 convertor.ts:836-854)."""
     url = _resolve_url(table)
-    subj = (compile_template(col.aboutUrl, record, base=url)
-            if col.aboutUrl else _default_subject(url))
+    if subjects is not None and col.aboutUrl in subjects:
+        subj = subjects[col.aboutUrl]
+    else:
+        subj = (compile_template(col.aboutUrl, record, base=url)
+                if col.aboutUrl else _default_subject(url))
     pred = _predicate(col, table, record)
 
     def value_triple(item: Column) -> Column:
@@ -137,24 +141,20 @@ def _column_triples(col: ColumnSpec, values: Column, table: TableSpec,
     return F.when(values.isNull(), F.array().cast(_EMPTY_TRIPLES)).otherwise(out)
 
 
-def _row_record(table: TableSpec, parsed: dict[str, Column]) -> dict[str, Column]:
-    """Template variable bindings: every column's parsed value (joined for
-    lists) + the ``_row``/``_sourceRow`` specials (convertor.ts:687-699).
-    ``_name``/``_column``/``_sourceColumn`` are bound per column at use site.
-    """
-    rec: dict[str, Column] = {}
-    for col in table.columns:
-        if col.name in parsed:
-            vals = parsed[col.name]
-            rec[col.name] = cells.strip_invalid(F.array_join(vals, ","))
-    rec["_row"] = F.col(_ROW).cast("string")
-    rec["_sourceRow"] = F.col(_SRC_ROW).cast("string")
-    return rec
-
-
 def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
                      partition_by: str | None = None) -> DataFrame:
-    """Compile and run the full table conversion; returns the triples DF."""
+    """Compile and run the full table conversion; returns the triples DF.
+
+    Plan shape (performance-critical): the cell pipeline, the row-record
+    bindings, and the per-aboutUrl subject IRIs are materialized as real
+    columns in *separate* projections, so each is evaluated ONCE per row and
+    downstream expressions reference cheap attributes. Inlining everything
+    into the final explode duplicates the whole cell pipeline per column
+    (O(n_cols²) expression tree → codegen blowout / interpreted fallback;
+    measured ~20× slower on a 7-column table). CollapseProject keeps these
+    projections separate because the producer expressions are non-cheap and
+    multiply referenced.
+    """
     if table.suppressOutput:
         return df.sparkSession.createDataFrame(
             [], "subj string, pred string, obj_lex string, obj_kind string, "
@@ -163,25 +163,62 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
     url = _resolve_url(table)
     df = _row_numbers(df, table, partition_by)
 
-    # P1–P10 per physical column → array<string> of canonical lexicals
-    parsed: dict[str, Column] = {}
-    for col in table.columns:
+    # stage 1: P1–P10 per column → array<string> columns (evaluated once)
+    cell_col: dict[str, str] = {}
+    stage1 = []
+    for i, col in enumerate(table.columns):
+        cname = f"__cell_{i}"
+        cell_col[col.name] = cname
         if col.virtual:
             # virtual column: no physical cell; templates drive everything,
             # the "value" is the (constant) default ('' unless given)
-            parsed[col.name] = F.array(F.lit(col.default))
+            expr = F.array(F.lit(col.default))
         else:
             src = col.source or col.name
             if src not in df.columns:
                 raise KeyError(f"source column {src!r} for {col.name!r} not in DataFrame")
-            parsed[col.name] = cells.cell_values(F.col(src), col)
+            expr = cells.cell_values(F.col(src), col)
+        stage1.append(expr.alias(cname))
+    df = df.select("*", *stage1)
 
-    record = _row_record(table, parsed)
+    # stage 2: row-record bindings (template variables) as columns
+    rec_col: dict[str, str] = {}
+    stage2 = []
+    for i, col in enumerate(table.columns):
+        rname = f"__rec_{i}"
+        rec_col[col.name] = rname
+        stage2.append(cells.strip_invalid(
+            F.array_join(F.col(cell_col[col.name]), ",")).alias(rname))
+    df = df.select("*", *stage2)
+    record: dict[str, Column] = {n: F.col(c) for n, c in rec_col.items()}
+    record["_row"] = F.col(_ROW).cast("string")
+    record["_sourceRow"] = F.col(_SRC_ROW).cast("string")
+
+    parsed: dict[str, Column] = {n: F.col(c) for n, c in cell_col.items()}
+
+    # stage 3: one subject column per distinct aboutUrl template (templates
+    # using per-column specials (_name/_column) fall back to inline exprs)
+    subj_col: dict[str | None, str] = {}
+    stage3 = []
+    distinct_abouts = dict.fromkeys(
+        c.aboutUrl for c in table.columns if not c.suppressOutput)
+    for j, key in enumerate(distinct_abouts):
+        if key and variables(key) & {"_name", "_column", "_sourceColumn"}:
+            continue
+        sname = f"__subj_{j}"
+        subj_col[key] = sname
+        expr = (compile_template(key, record, base=url) if key
+                else _default_subject(url))
+        stage3.append(expr.alias(sname))
+    df = df.select("*", *stage3)
+    subjects: dict[str | None, Column] = {k: F.col(v) for k, v in subj_col.items()}
+
     per_col = [
         _column_triples(col, parsed[col.name], table,
                         {**record, "_name": F.lit(col.name),
                          "_column": F.lit(str(i + 1)),
-                         "_sourceColumn": F.lit(str(i + 1 + table.dialect.skipColumns))})
+                         "_sourceColumn": F.lit(str(i + 1 + table.dialect.skipColumns))},
+                        subjects=subjects)
         for i, col in enumerate(table.columns) if not col.suppressOutput
     ]
 
@@ -213,8 +250,13 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
         if key in seen:
             continue
         seen.add(key)
-        subj = (compile_template(col.aboutUrl, {**record, "_name": F.lit(col.name)}, base=url)
-                if col.aboutUrl else _default_subject(url))
+        if col.aboutUrl in subjects:
+            subj = subjects[col.aboutUrl]
+        elif col.aboutUrl:
+            subj = compile_template(col.aboutUrl,
+                                    {**record, "_name": F.lit(col.name)}, base=url)
+        else:
+            subj = _default_subject(url)
         kind = F.lit("iri") if col.aboutUrl else F.lit("bnode")
         scaffold.append(F.array(triple(row_node, F.lit(CSVW + "describes"), subj, kind,
                                        F.lit(""), F.lit(""))))
