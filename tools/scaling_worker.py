@@ -1,0 +1,126 @@
+"""One scaling measurement at a fixed parallelism: runs the throughput
+workloads warm and prints a JSON line. Invoked by tools/scaling_run.py as a
+subprocess (fresh JVM per core count — no cross-contamination).
+
+Measurement protocol (chosen after experimentation — see BENCH/BASELINE.md):
+- inputs are materialized (cached + counted) BEFORE timing, so the timed job
+  is the operator itself, not the single-row-group scan of the test parquet;
+- the sink is the noop datasource (forces full materialization, no driver
+  collect, no disk variance) for the mapping workload; the KG workload times
+  the real pipeline including its partitioned parquet write + manifest;
+- first run warms codegen/python workers and is discarded; we report the
+  median of 3 (mapping) / best of 2 (kg — each run writes ~GBs).
+
+Workloads (same INPUT at every parallelism level — the scaling contract):
+  mapping — CSVW→RDF conversion of lineitem sf0.1 replicated ×4
+            (~16.8M triples; the engine's core narrow path)
+  kg      — full transcripts→KG pipeline (mapping + mention detection +
+            linking + connected components + partitioned write + manifest)
+            over the deterministic synthetic corpus (~400k turns,
+            hot-conversation skew included)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+REPL = 4
+N_CONVS = 200000
+MAX_LEN = 600
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"scaling-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.codegen.methodSplitThreshold", "256")
+        .config("spark.driver.memory", "32g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main():
+    cpus = int(sys.argv[1])
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from pyspark.sql import functions as F
+
+    from bench import LINEITEM_DESC
+    from csvw_rdf_convertor_spark.kg import pipeline
+    from csvw_rdf_convertor_spark.kg.synth import synth_transcripts
+    from csvw_rdf_convertor_spark.plans.csvw2rdf import table_to_triples
+    from csvw_rdf_convertor_spark.spec import parse_descriptor
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"cpus": cpus}
+
+    # ---- workload A: mapping ------------------------------------------------
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .withColumn("__r", F.explode(F.array(*[F.lit(i) for i in range(REPL)])))
+          .repartition(cpus * 4)
+          .select(
+              F.concat_ws("-", F.col("l_orderkey").cast("string"),
+                          F.col("__r").cast("string")).alias("l_orderkey"),
+              F.col("l_linenumber").cast("string").alias("l_linenumber"),
+              F.col("l_quantity").cast("string").alias("l_quantity"),
+              F.col("l_extendedprice").cast("string").alias("l_extendedprice"),
+              "l_returnflag", "l_linestatus",
+              F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate"))
+          .cache())
+    li.count()                       # materialize input (excluded from timing)
+    tri = table_to_triples(li, parse_descriptor(LINEITEM_DESC).tables[0])
+    n_triples = tri.count()          # warm codegen
+
+    def sink():
+        tri.write.format("noop").mode("overwrite").save()
+
+    sink()
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        sink()
+        samples.append(time.time() - t0)
+    dt = statistics.median(samples)
+    out["mapping"] = {"triples": n_triples, "sec": round(dt, 3),
+                      "samples": [round(s, 2) for s in samples],
+                      "triples_per_sec": round(n_triples / dt)}
+    li.unpersist()
+
+    # ---- workload B: KG pipeline -------------------------------------------
+    tr = (synth_transcripts(spark, n_convs=N_CONVS, max_len=MAX_LEN)
+          .repartition(cpus * 4).cache())
+    n_turns = tr.count()
+    d1 = tempfile.mkdtemp(prefix="kg_scale_warm_")
+    pipeline.run(tr, d1, n_buckets=32, resume=False)   # warm
+    shutil.rmtree(d1, ignore_errors=True)
+    samples, triples = [], 0
+    for _ in range(2):
+        d2 = tempfile.mkdtemp(prefix="kg_scale_")
+        t0 = time.time()
+        m = pipeline.run(tr, d2, n_buckets=32, resume=False)
+        samples.append(time.time() - t0)
+        triples = m.triples
+        shutil.rmtree(d2, ignore_errors=True)
+    dt = min(samples)
+    out["kg"] = {"turns": n_turns, "triples": triples, "sec": round(dt, 3),
+                 "samples": [round(s, 2) for s in samples],
+                 "triples_per_sec": round(triples / dt),
+                 "turns_per_sec": round(n_turns / dt)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
