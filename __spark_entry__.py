@@ -349,8 +349,7 @@ def q_q1_pricing_summary(spark, sf_dir):
                  F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
                  F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
                   .cast("double").alias("sum_disc_price"),
-                 F.count("*").alias("count_order"))
-            .orderBy("l_returnflag", "l_linestatus"))
+                 F.count("*").alias("count_order")))
 
 
 SQL_Q1 = """
