@@ -61,6 +61,35 @@ def _row_numbers(df: DataFrame, table: TableSpec,
     return df.withColumn(_SRC_ROW, F.col(_ROW) + F.lit(table.source_row_offset))
 
 
+def _needs_row_numbers(table: TableSpec, minimal: bool) -> bool:
+    """Row numbering costs a sort (global or per-partition) — add it only
+    when something consumes it: standard-mode scaffolding, a default (no
+    aboutUrl) subject, an ordered-list skolem, or a template referencing the
+    ``_row``/``_sourceRow`` specials. Streaming plans (no monotonic ids) and
+    the transcripts hot path then stay fully stateless."""
+    if not minimal:
+        return True
+    from ..functions.uritemplate import variables as _vars
+    for col in table.columns:
+        if col.suppressOutput:
+            continue
+        if not col.aboutUrl:
+            return True
+        if col.separator is not None and col.ordered:
+            return True
+        for tpl in (col.aboutUrl, col.propertyUrl, col.valueUrl):
+            if tpl and "{" in tpl and _vars(tpl) & {"_row", "_sourceRow"}:
+                return True
+    return False
+
+
+def _maybe_row_numbers(df: DataFrame, table: TableSpec,
+                       partition_by: str | None, minimal: bool) -> DataFrame:
+    if _needs_row_numbers(table, minimal):
+        return _row_numbers(df, table, partition_by)
+    return df
+
+
 def _default_subject(table_url: str) -> Column:
     """Per-row default cell subject (fresh bnode in the reference,
     convertor.ts:683 → deterministic skolem of (table, row))."""
@@ -161,7 +190,7 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
                 "obj_dtype string, obj_lang string, graph string")
 
     url = _resolve_url(table)
-    df = _row_numbers(df, table, partition_by)
+    df = _maybe_row_numbers(df, table, partition_by, minimal)
 
     # stage 1: P1–P10 per column → array<string> columns (evaluated once)
     cell_col: dict[str, str] = {}
@@ -191,8 +220,9 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
             F.array_join(F.col(cell_col[col.name]), ",")).alias(rname))
     df = df.select("*", *stage2)
     record: dict[str, Column] = {n: F.col(c) for n, c in rec_col.items()}
-    record["_row"] = F.col(_ROW).cast("string")
-    record["_sourceRow"] = F.col(_SRC_ROW).cast("string")
+    if _ROW in df.columns:
+        record["_row"] = F.col(_ROW).cast("string")
+        record["_sourceRow"] = F.col(_SRC_ROW).cast("string")
 
     parsed: dict[str, Column] = {n: F.col(c) for n, c in cell_col.items()}
 
