@@ -70,6 +70,22 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     return labels
 
 
+def link_graph_edges(linked: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Canonicalization graph = observed (surface form ↔ linked entity)
+    edges ∪ dictionary (alias ↔ owner entity) edges. The dictionary edges
+    make ownership transitive: two entities sharing ANY alias merge even if
+    the corpus never links that alias to both (deterministic, corpus-
+    independent canonical ids). Both sides are dictionary-scale — the union
+    is tiny relative to the mention volume it canonicalizes."""
+    observed = (linked.select(
+        F.concat(F.lit("sf:"), F.col("mention_norm")).alias("src"),
+        F.col("entity_id").alias("dst")).distinct())
+    dictionary = aliases.select(
+        F.concat(F.lit("sf:"), F.col("alias")).alias("src"),
+        F.col("entity_id").alias("dst"))
+    return observed.unionByName(dictionary).distinct()
+
+
 def canonical_mapping(labels: DataFrame) -> DataFrame:
     """(node → canonical) mapping, dropping identity rows to keep it small
     for the broadcast-join application step."""

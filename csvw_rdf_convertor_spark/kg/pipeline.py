@@ -180,9 +180,7 @@ def run(transcripts: DataFrame, out_dir: str, *,
     # -- stage 2: linking + connected-component canonicalization -------------
     aliases = linking.alias_table(spark, dictionary)
     linked = linking.link(ments, aliases).withColumn("bucket", bucket)
-    edges = (linked.select(
-        F.concat(F.lit("sf:"), F.col("mention_norm")).alias("src"),
-        F.col("entity_id").alias("dst")).distinct())
+    edges = cc.link_graph_edges(linked, aliases)
     labels = cc.connected_components(edges)
     canon = cc.canonical_mapping(labels.where(~F.col("node").startswith("sf:")))
     m_triples = mention_triples(linked, canon, passthrough=["bucket"])
