@@ -811,6 +811,131 @@ def q_cc_components(spark, sf_dir):
     return labels.groupBy("comp").agg(F.count("*").alias("size"))
 
 
+def q_a5_labels(spark, sf_dir):
+    """A5: label resolution with predicate priority (skos:prefLabel beats
+    rdfs:label) over a triples DF built from nation+region."""
+    skos = "http://www.w3.org/2004/02/skos/core#prefLabel"
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#label"
+    nation = _p(spark, sf_dir, "nation")
+    region = _p(spark, sf_dir, "region")
+    t = (nation.select(F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("subj"),
+                       F.lit(skos).alias("pred"), F.col("n_name").alias("obj_lex"))
+         .unionByName(nation.select(
+             F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("subj"),
+             F.lit(rdfs).alias("pred"),
+             F.concat(F.lit("fallback-"), F.col("n_name")).alias("obj_lex")))
+         .unionByName(region.select(
+             F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("subj"),
+             F.lit(rdfs).alias("pred"), F.col("r_name").alias("obj_lex"))))
+    return rdf2csvw.labels(t.withColumn("obj_kind", F.lit("literal"))
+                           .withColumn("obj_dtype", F.lit(""))
+                           .withColumn("obj_lang", F.lit(""))
+                           .withColumn("graph", F.lit("")))
+
+
+SQL_A5_LABELS = """
+WITH t AS (
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS subj, 0 AS pri, n_name AS obj_lex FROM nation
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 1, 'fallback-' || n_name FROM nation
+  UNION ALL
+  SELECT 'r' || CAST(r_regionkey AS VARCHAR), 1, r_name FROM region),
+ranked AS (SELECT subj, obj_lex,
+                  row_number() OVER (PARTITION BY subj ORDER BY pri, obj_lex) rk
+           FROM t)
+SELECT subj, obj_lex AS label FROM ranked WHERE rk = 1
+"""
+
+
+def q_rdf2csvw_roundtrip(spark, sf_dir):
+    """Inverse direction end-to-end: forward nation triples → BGP equi-join
+    matching (J1–J3) → reconstructed rows."""
+    triples = q_csvw2rdf_minimal_nation(spark, sf_dir) \
+        .withColumn("graph", F.lit(""))
+    u = "urn:nation#"
+    pats = [rdf2csvw.TriplePattern("n_name", u + "n_name", required=True),
+            rdf2csvw.TriplePattern("n_regionkey", u + "n_regionkey")]
+    return rdf2csvw.match_patterns(triples, pats)
+
+
+SQL_RDF2CSVW_ROUNDTRIP = """
+SELECT 'urn:nation#nation-' || CAST(n_nationkey AS VARCHAR) AS subj,
+       n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey
+FROM nation
+"""
+
+
+def q_p5_numeric_battery(spark, sf_dir):
+    """P5 shapes on constructed lexicals: percent doubles, grouped decimals,
+    specials, invalid demotion — built identically in both engines."""
+    from csvw_rdf_convertor_spark.functions import cells
+    from csvw_rdf_convertor_spark.spec import ColumnSpec, DatatypeSpec
+    part = _p(spark, sf_dir, "part")
+    src = part.select(
+        "p_partkey",
+        F.concat((F.col("p_partkey") % 200).cast("string"), F.lit("%")).alias("pct_in"),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("abc"))
+         .otherwise(F.concat(F.lit("+0"), (F.col("p_partkey") % 50).cast("string")))
+         .alias("int_in"),
+        F.concat(F.lit("1.2"), (F.col("p_partkey") % 10).cast("string"), F.lit("4,5"))
+         .alias("grp_in"))
+    pct = cells.parse_number(F.col("pct_in"), DatatypeSpec(base="double"))
+    iv = cells.parse_number(F.col("int_in"), DatatypeSpec(base="integer"))
+    grp = cells.parse_number(
+        F.col("grp_in"),
+        DatatypeSpec(base="decimal", format={"groupChar": ".", "decimalChar": ","}))
+    return src.select("p_partkey", pct.alias("pct_out"), iv.alias("int_out"),
+                      grp.alias("grp_out"))
+
+
+SQL_P5_BATTERY = """
+SELECT p_partkey,
+       CASE WHEN (p_partkey % 200) % 100 = 0
+            THEN CAST(CAST((p_partkey % 200) / 100 AS BIGINT) AS VARCHAR)
+            ELSE CAST((p_partkey % 200) / 100.0 AS VARCHAR) END AS pct_out,
+       CASE WHEN p_partkey % 7 = 0 THEN '@@invalid@@abc'
+            ELSE CAST(p_partkey % 50 AS VARCHAR) END AS int_out,
+       '12' || CAST(p_partkey % 10 AS VARCHAR) || '4.5' AS grp_out
+FROM part
+"""
+
+
+def q_issues_required(spark, sf_dir):
+    """Issues side-output: required-cell violations with (table,row,column)
+    location (utils/issue-tracker.ts:34-126)."""
+    from csvw_rdf_convertor_spark.plans.csvw2rdf import issues
+    desc = {
+        "url": "urn:events",
+        "tableSchema": {"columns": [
+            {"name": "event_id"},
+            {"name": "flag", "required": True, "null": [""]},
+        ]},
+        "order_by": "event_id",
+    }
+    df = _p(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.when(F.col("event_type") == "error", F.lit(""))
+         .otherwise(F.lit("ok")).alias("flag"))
+    table = parse_descriptor(desc).tables[0]
+    return issues(df, table)
+
+
+SQL_ISSUES = """
+SELECT 'urn:events' AS "table",
+       CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS row,
+       'flag' AS "column", 'required cell is null' AS message
+FROM events
+QUALIFY event_type = 'error'
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (Arrow mapInPandas, stub decoder) — rows-only."""
+    from csvw_rdf_convertor_spark.ops import multimodal
+    media = multimodal.synth_media(spark, 128)
+    return multimodal.extract_features(media, deterministic_fake=True)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -868,6 +993,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_blocked": q_emb_near_dup_blocked,
         "kg_mention_stats": q_kg_mention_stats,
         "cc_components": q_cc_components,
+        # inverse direction + battery extensions
+        "a5_labels": q_a5_labels,
+        "rdf2csvw_roundtrip": q_rdf2csvw_roundtrip,
+        "p5_numeric_battery": q_p5_numeric_battery,
+        "issues_required": q_issues_required,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -902,6 +1033,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_normalized": SQL_DEDUP_NORMALIZED,
         "sim_topk_bruteforce": SQL_SIM_TOPK,
         "emb_near_dup_blocked": SQL_EMB_NEAR_DUP,
+        "a5_labels": SQL_A5_LABELS,
+        "rdf2csvw_roundtrip": SQL_RDF2CSVW_ROUNDTRIP,
+        "p5_numeric_battery": SQL_P5_BATTERY,
+        "issues_required": SQL_ISSUES,
         # rows-only (non-SQL-expressible): dedup_minhash_pairs, dedup_simhash,
-        # sim_lsh_topk, kg_mention_stats, cc_components
+        # sim_lsh_topk, kg_mention_stats, cc_components (xxhash64/pandas-UDF/
+        # iterative), multimodal_features (binary payloads + stub decoder)
     }
