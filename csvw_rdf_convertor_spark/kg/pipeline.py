@@ -175,11 +175,11 @@ def run(transcripts: DataFrame, out_dir: str, *,
         "bucket",
         F.pmod(F.xxhash64(F.regexp_extract("subj", r"^urn:conv:([^#]+)", 1)),
                F.lit(n_buckets)).cast("int"))
-    ments = mentions_mod.detect_mentions(todo, dictionary)
-
-    # -- stage 2: linking + connected-component canonicalization -------------
+    # persist: detection (pandas) and linking feed both the triple write and
+    # the metrics aggregation — without this each action re-runs them
+    ments = mentions_mod.detect_mentions(todo, dictionary).persist()
     aliases = linking.alias_table(spark, dictionary)
-    linked = linking.link(ments, aliases).withColumn("bucket", bucket)
+    linked = linking.link(ments, aliases).withColumn("bucket", bucket).persist()
     edges = cc.link_graph_edges(linked, aliases)
     labels = cc.connected_components(edges)
     canon = cc.canonical_mapping(labels.where(~F.col("node").startswith("sf:")))
@@ -216,6 +216,8 @@ def run(transcripts: DataFrame, out_dir: str, *,
                 .withColumn("finished_at", F.current_timestamp()))
     manifest.write.mode("append").parquet(manifest_path)
     todo.unpersist()
+    ments.unpersist()
+    linked.unpersist()
 
     rows = spark.read.parquet(manifest_path).collect()
     new_rows = [r for r in rows if r.bucket not in done]
