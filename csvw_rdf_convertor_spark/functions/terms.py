@@ -35,6 +35,14 @@ def skolem(*parts: Column | str) -> Column:
     return F.concat(F.lit("_:sk"), F.substring(F.sha2(F.concat_ws(SEP, *cols), 256), 1, 32))
 
 
+def skolem_value(*parts: str) -> str:
+    """Driver-side twin of :func:`skolem` (same bytes, same id) — for
+    constant nodes like the per-table node in scaffolding/external props."""
+    import hashlib
+    h = hashlib.sha256(SEP.join(parts).encode("utf-8")).hexdigest()[:32]
+    return "_:sk" + h
+
+
 def triple(subj: Column, pred: Column, obj_lex: Column, obj_kind: Column,
            obj_dtype: Column | None = None, obj_lang: Column | None = None,
            graph: Column | None = None) -> Column:

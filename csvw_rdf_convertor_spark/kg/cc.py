@@ -46,6 +46,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
               .distinct()
               .withColumn("comp", F.col("node")))
 
+    def signature(df: DataFrame) -> int:
+        # order-independent state fingerprint: one tiny action per iteration
+        # replaces the old join+count convergence check (labels only ever
+        # decrease, so an unchanged signature ⇒ converged up to a sha-grade
+        # hash collision)
+        # decimal(38,0) sum: immune to ANSI long overflow at any node count
+        return df.select(F.sum(F.xxhash64("node", "comp")
+                               .cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sig = None
     for _ in range(max_iter):
         # min label among neighbors — salted two-stage min to split hub keys
         nbr = (sym.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -54,19 +64,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         partial = nbr.groupBy("node", "salt").agg(F.min("comp").alias("comp"))
         nbr_min = partial.groupBy("node").agg(F.min("comp").alias("nbr_comp"))
 
-        new_labels = (labels.join(nbr_min, "node", "left")
-                      .select("node",
-                              F.least(F.col("comp"),
-                                      F.coalesce("nbr_comp", "comp")).alias("comp")))
-        new_labels = new_labels.localCheckpoint(eager=eager_checkpoint)
-
-        changed = (new_labels.withColumnRenamed("comp", "new_comp")
-                   .join(labels, "node")
-                   .where(F.col("new_comp") != F.col("comp"))
-                   .count())
-        labels = new_labels
-        if changed == 0:
+        labels = (labels.join(nbr_min, "node", "left")
+                  .select("node",
+                          F.least(F.col("comp"),
+                                  F.coalesce("nbr_comp", "comp")).alias("comp")))
+        # lazy checkpoint: lineage is cut, materialization rides on the
+        # signature action below instead of its own job
+        labels = labels.localCheckpoint(eager=False)
+        sig = signature(labels)
+        if sig == prev_sig:
             break
+        prev_sig = sig
     return labels
 
 

@@ -185,8 +185,12 @@ def run(transcripts: DataFrame, out_dir: str, *,
     canon = cc.canonical_mapping(labels.where(~F.col("node").startswith("sf:")))
     m_triples = mention_triples(linked, canon, passthrough=["bucket"])
 
+    # repartition by bucket before the partitioned write: one file per
+    # bucket instead of (input partitions × buckets) tiny files — the commit
+    # protocol and downstream scans are the dominant fixed cost otherwise.
     all_triples = (turns.select("bucket", *TRIPLE_COLS)
-                   .unionByName(m_triples.select("bucket", *TRIPLE_COLS)))
+                   .unionByName(m_triples.select("bucket", *TRIPLE_COLS))
+                   .repartition(n_buckets, "bucket"))
     # dynamic partition overwrite = idempotent per-bucket commit (the parquet
     # stand-in for an Iceberg partition-overwrite snapshot): a re-run of a
     # bucket replaces its files instead of appending duplicates
@@ -198,21 +202,21 @@ def run(transcripts: DataFrame, out_dir: str, *,
          .write.mode("append").text(f"{out_dir}/ntriples"))
 
     # -- stage 3: manifest (checkpoint + lineage + metrics) -------------------
-    turn_counts = todo.groupBy("bucket").agg(
-        F.count("*").alias("n_turns"),
-        F.countDistinct("conv_id").alias("n_convs"))
-    mention_counts = (ments.withColumn("bucket", bucket)
-                      .groupBy("bucket").agg(F.count("*").alias("n_mentions")))
-    link_counts = linked.groupBy("bucket").agg(F.count("*").alias("n_links"))
+    # ONE aggregation job for turn/mention/link counts (tagged union instead
+    # of three groupBys + joins), plus a zero-column scan of the sink for the
+    # committed triple counts (parquet footers only).
+    tagged = (todo.select("bucket", F.lit("turn").alias("kind"))
+              .unionByName(ments.withColumn("bucket", bucket)
+                           .select("bucket", F.lit("mention").alias("kind")))
+              .unionByName(linked.select("bucket", F.lit("link").alias("kind"))))
+    counts = (tagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("kind") == "turn", 1).otherwise(0)).alias("n_turns"),
+        F.sum(F.when(F.col("kind") == "mention", 1).otherwise(0)).alias("n_mentions"),
+        F.sum(F.when(F.col("kind") == "link", 1).otherwise(0)).alias("n_links")))
     triple_counts = (spark.read.parquet(f"{out_dir}/triples")
                      .where(~F.col("bucket").isin(*done) if done else F.lit(True))
                      .groupBy("bucket").agg(F.count("*").alias("n_triples")))
-
-    manifest = (turn_counts
-                .join(mention_counts, "bucket", "left")
-                .join(link_counts, "bucket", "left")
-                .join(triple_counts, "bucket", "left")
-                .na.fill(0)
+    manifest = (counts.join(triple_counts, "bucket", "left").na.fill(0)
                 .withColumn("finished_at", F.current_timestamp()))
     manifest.write.mode("append").parquet(manifest_path)
     todo.unpersist()

@@ -171,7 +171,8 @@ def _column_triples(col: ColumnSpec, values: Column, table: TableSpec,
 
 
 def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
-                     partition_by: str | None = None) -> DataFrame:
+                     partition_by: str | None = None,
+                     default_lang: str = "") -> DataFrame:
     """Compile and run the full table conversion; returns the triples DF.
 
     Plan shape (performance-critical): the cell pipeline, the row-record
@@ -303,7 +304,19 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
             triple(F.lit(group_node_id), F.lit(RDF_TYPE), F.lit(CSVW + "TableGroup"), F.lit("iri"), F.lit(""), F.lit("")),
             triple(F.lit(group_node_id), F.lit(CSVW + "table"), table_node, F.lit("bnode"), F.lit(""), F.lit("")),
         )).alias("t")).select("t.*")
-    return row_triples.unionByName(table_consts)
+    out = row_triples.unionByName(table_consts)
+
+    # T8: external (non-CSVW) descriptor annotations on the table node
+    if table.external:
+        from ..functions.terms import skolem_value
+        from .external_props import external_triples
+        ext = external_triples(table.external, skolem_value(url, "table"),
+                               base=url, default_lang=default_lang)
+        if ext:
+            out = out.unionByName(spark.createDataFrame(
+                ext, "subj string, pred string, obj_lex string, obj_kind string, "
+                     "obj_dtype string, obj_lang string, graph string"))
+    return out
 
 
 def group_to_triples(dfs: dict[str, DataFrame], group, *, minimal: bool = True) -> DataFrame:

@@ -149,6 +149,93 @@ class TriplePattern:
     required: bool = False
 
 
+@dataclass(frozen=True)
+class InferredTable:
+    """One inferred output table (reference: rdf2csvw/schema/table-schema.ts)."""
+    name: str
+    type_iri: str               # rdf:type object, or 'unknown_type'
+    patterns: tuple[TriplePattern, ...]
+    multivalued: tuple[str, ...] = ()   # predicates split into link tables
+
+
+def _local_name(iri: str) -> str:
+    for sep in ("#", "/"):
+        if sep in iri:
+            tail = iri.rsplit(sep, 1)[1]
+            if tail:
+                return tail
+    return iri
+
+
+def infer_tables(triples: DataFrame) -> list[InferredTable]:
+    """Full schema inference: one table per rdf:type (A1), columns from the
+    predicates its subjects use, multi-valued predicates flagged for link
+    tables (A2), names from IRI local names with label override (A5).
+
+    All aggregates are metadata-sized (predicates × types), collected to the
+    driver to build the spec — mirrors the reference's incremental
+    SchemaInferrer output (schema-inferrer.ts:23-403) as one batch pass.
+    """
+    typed = subjects_by_type(triples)
+    data = triples.where(F.col("pred") != RDF_TYPE)
+    # max values per (subj,pred) within the type — two-stage agg, no window
+    sp = (data.join(typed, "subj")
+          .groupBy("type_iri", "pred", "subj").agg(F.count("*").alias("k"))
+          .groupBy("type_iri", "pred")
+          .agg(F.max("k").alias("max_per_subj"), F.sum("k").alias("n")))
+    label_map = {r.subj: r.label for r in labels(triples).collect()}
+    out: list[InferredTable] = []
+    for type_iri, rows in _group_rows(sp.collect(), "type_iri").items():
+        pats, multi = [], []
+        seen: set[str] = set()
+        for r in sorted(rows, key=lambda r: r.pred):
+            col = _local_name(r.pred)
+            if col in seen:
+                col = f"{col}_{len(seen)}"
+            seen.add(col)
+            if r.max_per_subj > 1:
+                multi.append(r.pred)
+            pats.append(TriplePattern(col, r.pred, required=False))
+        name = label_map.get(type_iri) or _local_name(type_iri)
+        out.append(InferredTable(name=name, type_iri=type_iri,
+                                 patterns=tuple(pats), multivalued=tuple(multi)))
+    return sorted(out, key=lambda t: t.name)
+
+
+def _group_rows(rows, key):
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r[key], []).append(r)
+    return out
+
+
+def reconstruct_tables(triples: DataFrame) -> dict[str, DataFrame]:
+    """rdf2csvw end-to-end: infer schema, then per table match its subjects'
+    BGP and rebuild rows; multi-valued predicates become link tables
+    (``<table>_<pred>`` with (subject, value)) like schema-inferrer.ts:135-197.
+    """
+    tables = infer_tables(triples)
+    typed = subjects_by_type(triples)
+    out: dict[str, DataFrame] = {}
+    for t in tables:
+        subjects = typed.where(F.col("type_iri") == t.type_iri).select("subj")
+        scoped = triples.join(subjects, "subj", "left_semi")
+        single = [p for p in t.patterns if p.pred not in t.multivalued]
+        df = subjects.distinct()
+        for p in single:
+            side = (scoped.where(F.col("pred") == p.pred)
+                    .select("subj", F.col("obj_lex").alias(p.name)))
+            df = df.join(side, "subj", "left")
+        out[t.name] = df
+        for pred in t.multivalued:
+            col = _local_name(pred)
+            link = (scoped.where(F.col("pred") == pred)
+                    .select(F.col("subj").alias(t.name),
+                            F.col("obj_lex").alias(col)))
+            out[f"{t.name}_{col}"] = link
+    return out
+
+
 def match_patterns(triples: DataFrame, patterns: list[TriplePattern]) -> DataFrame:
     """Reconstruct rows: seed = DISTINCT subjects (J3 guard, create-query.ts:
     133-137), then one join per pattern — inner for required (J1), left for

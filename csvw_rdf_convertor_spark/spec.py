@@ -235,6 +235,9 @@ class TableSpec:
     rowTitles: tuple[str, ...] = ()
     base: str = ""
     notes: Any = None
+    #: non-CSVW (namespaced) descriptor annotations, re-emitted as RDF in
+    #: standard mode (T8; reference: descriptor.ts:334-390)
+    external: tuple[tuple[str, Any], ...] = ()
     #: name of an ordering column for stable row numbering; None → file order
     order_by: str | None = None
 
@@ -326,7 +329,12 @@ def parse_table(raw: dict, group_inherited: dict | None = None, base: str = "") 
     pk = schema.get("primaryKey", ())
     if isinstance(pk, str):
         pk = (pk,)
+    # non-CSVW namespaced keys (e.g. "dc:title") are external annotations
+    external = tuple(
+        (k, v) for k, v in raw.items()
+        if ":" in k and not k.startswith("@") and k not in INHERITED_PROPS)
     return TableSpec(
+        external=external,
         url=raw.get("url", ""),
         columns=tuple(cols),
         dialect=DialectSpec.parse(raw.get("dialect")),

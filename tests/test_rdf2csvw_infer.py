@@ -1,0 +1,57 @@
+"""Full automatic inverse pipeline: infer_tables + reconstruct_tables
+(schema-inferrer.ts end-to-end analogue, fixture-011 style)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csvw_rdf_convertor_spark.plans import rdf2csvw
+from csvw_rdf_convertor_spark.spec import RDF
+
+SCHEMA = ("subj string, pred string, obj_lex string, obj_kind string, "
+          "obj_dtype string, obj_lang string, graph string")
+EX = "http://ex.org/"
+SKOS_PREF = "http://www.w3.org/2004/02/skos/core#prefLabel"
+
+TRIPLES = [
+    # two typed Person subjects, one with a multi-valued predicate
+    (EX + "p1", RDF + "type", EX + "Person", "iri", "", "", ""),
+    (EX + "p1", EX + "name", "Alice", "literal", "", "", ""),
+    (EX + "p1", EX + "email", "a@x.org", "literal", "", "", ""),
+    (EX + "p1", EX + "email", "alice@y.org", "literal", "", "", ""),
+    (EX + "p2", RDF + "type", EX + "Person", "iri", "", "", ""),
+    (EX + "p2", EX + "name", "Bob", "literal", "", "", ""),
+    # a labeled type
+    (EX + "Person", SKOS_PREF, "people", "literal", "", "", ""),
+    # an untyped subject
+    (EX + "u1", EX + "note", "loose", "literal", "", "", ""),
+]
+
+
+def _triples(spark):
+    return spark.createDataFrame(TRIPLES, SCHEMA)
+
+
+def test_infer_tables(spark):
+    tables = {t.name: t for t in rdf2csvw.infer_tables(_triples(spark))}
+    # 'people' label resolved from skos:prefLabel; Person + unknown_type + the
+    # label carrier itself (Person IRI is an untyped subject with prefLabel)
+    assert "people" in tables
+    ppl = tables["people"]
+    assert {p.pred for p in ppl.patterns} == {EX + "name", EX + "email"}
+    assert ppl.multivalued == (EX + "email",)
+    assert "unknown_type" in tables
+
+
+def test_reconstruct_tables(spark):
+    out = rdf2csvw.reconstruct_tables(_triples(spark))
+    ppl = out["people"]
+    rows = {r.subj: r.name for r in ppl.collect()}
+    assert rows == {EX + "p1": "Alice", EX + "p2": "Bob"}
+    # link table for the multi-valued predicate
+    link = out["people_email"]
+    got = {(r.people, r.email) for r in link.collect()}
+    assert got == {(EX + "p1", "a@x.org"), (EX + "p1", "alice@y.org")}
+    # untyped subjects land in unknown_type
+    unk = out["unknown_type"]
+    assert any(r.subj == EX + "u1" for r in unk.collect())

@@ -31,8 +31,13 @@ import tempfile
 import time
 
 REPL = 4
-N_CONVS = 200000
+#: kg corpus sized so the parallel stages dominate the pipeline's ~15 s of
+#: fixed driver/commit cost (≈3M turns; see BENCH/BASELINE.md methodology)
+N_CONVS = 1_500_000
 MAX_LEN = 600
+#: turn-mapping corpus (narrow-path workload)
+TM_CONVS = 400_000
+TM_LEN = 800
 
 
 def build_spark(cpus: int):
@@ -89,7 +94,7 @@ def main():
 
     sink()
     samples = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         sink()
         samples.append(time.time() - t0)
@@ -99,18 +104,40 @@ def main():
                       "triples_per_sec": round(n_triples / dt)}
     li.unpersist()
 
+    # ---- workload A2: transcripts turn mapping (narrow, string-light) ------
+    tm = (synth_transcripts(spark, n_convs=TM_CONVS, max_len=TM_LEN)
+          .repartition(cpus * 4).cache())
+    tm.count()
+    tt = pipeline.turn_triples(tm)
+    n_tt = tt.count()
+
+    def sink_tt():
+        tt.write.format("noop").mode("overwrite").save()
+
+    sink_tt()
+    samples = []
+    for _ in range(5):
+        t0 = time.time()
+        sink_tt()
+        samples.append(time.time() - t0)
+    dt = statistics.median(samples)
+    out["turn_mapping"] = {"triples": n_tt, "sec": round(dt, 3),
+                           "samples": [round(s, 2) for s in samples],
+                           "triples_per_sec": round(n_tt / dt)}
+    tm.unpersist()
+
     # ---- workload B: KG pipeline -------------------------------------------
     tr = (synth_transcripts(spark, n_convs=N_CONVS, max_len=MAX_LEN)
           .repartition(cpus * 4).cache())
     n_turns = tr.count()
     d1 = tempfile.mkdtemp(prefix="kg_scale_warm_")
-    pipeline.run(tr, d1, n_buckets=32, resume=False)   # warm
+    pipeline.run(tr, d1, n_buckets=64, resume=False)   # warm
     shutil.rmtree(d1, ignore_errors=True)
     samples, triples = [], 0
     for _ in range(2):
         d2 = tempfile.mkdtemp(prefix="kg_scale_")
         t0 = time.time()
-        m = pipeline.run(tr, d2, n_buckets=32, resume=False)
+        m = pipeline.run(tr, d2, n_buckets=64, resume=False)
         samples.append(time.time() - t0)
         triples = m.triples
         shutil.rmtree(d2, ignore_errors=True)
