@@ -141,8 +141,9 @@ def bench_queries(spark, sf_dir: str, cpus: int):
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     run("sim_topk_bruteforce", similarity.brute_force_topk(emb, queries, k=5))
 
-    # 7. KG pipeline end-to-end over synthetic transcripts (hot-conv skew)
-    n_convs = max(int(20000 * _sf_of(sf_dir)), 50)
+    # 7. KG pipeline end-to-end over synthetic transcripts (hot-conv skew);
+    # corpus big enough that the ~15s fixed pipeline cost doesn't dominate
+    n_convs = max(int(1_000_000 * _sf_of(sf_dir)), 50)
     tr = synth_transcripts(spark, n_convs=n_convs, max_len=400).repartition(cpus)
     out = tempfile.mkdtemp(prefix="kg_bench_")
     t0 = time.time()
