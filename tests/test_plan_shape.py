@@ -1,0 +1,56 @@
+"""Plan-shape regression guards: the properties .explain() must keep showing
+(docs/SCALE.md). If one of these fails, a change regressed the physical plan
+even if results are still correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_mapping_plan_is_shuffle_free(spark):
+    """The CSVW mapping (no row numbering needed) must stay a pure narrow
+    projection: zero Exchange operators."""
+    import __spark_entry__ as e
+    from csvw_rdf_convertor_spark.kg.pipeline import turn_triples
+    tr = e._transcripts_from_events(spark, SF)
+    # turn_triples over a frame that already has turn_idx: only the
+    # row_number window of the events derivation may shuffle — the mapping
+    # itself adds nothing on top
+    plan = _plan(turn_triples(tr))
+    assert plan.count("Exchange") <= 1  # the events->transcripts window only
+
+
+def test_q1_pushdown_and_pruning(spark):
+    import __spark_entry__ as e
+    plan = _plan(e.queries()["q1_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: no l_orderkey/l_partkey in the scan schema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_partkey" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q3_broadcasts_dimension(spark):
+    import __spark_entry__ as e
+    plan = _plan(e.queries()["q3_top_orders"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_anti_join_shape(spark):
+    import __spark_entry__ as e
+    plan = _plan(e.queries()["j5_fk_anti_join"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_minhash_pairs_join_is_on_band_keys(spark):
+    from csvw_rdf_convertor_spark.ops import dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.minhash_near_duplicates(docs))
+    # the only join key is the uniform (band, band_key) pair
+    assert "band_key" in plan and "CartesianProduct" not in plan
