@@ -36,7 +36,18 @@ KG = pipeline.KG
 TRIPLE_OUT = ["subj", "pred", "obj_lex", "obj_kind", "obj_dtype", "obj_lang"]
 
 
+def _tune(spark: SparkSession) -> SparkSession:
+    """Runtime-settable confs the engine wants regardless of who built the
+    session: small codegen methods (the wide cell pipeline otherwise exceeds
+    janino's 64 KB limit and falls back to interpreted, ~3× slower) and a
+    pinned UTC session TZ for timestamp-lexical determinism."""
+    spark.conf.set("spark.sql.codegen.methodSplitThreshold", "256")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def _p(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -943,6 +954,7 @@ def q_multimodal_features(spark, sf_dir):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts→KG triples (mapping + mentions + linking) at
     sf0.001; returns the triples DataFrame."""
+    _tune(spark)
     sf_dir = "/root/testdata/sf0.001"
     tr = _transcripts_from_events(spark, sf_dir)
     turns = pipeline.turn_triples(tr)
