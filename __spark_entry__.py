@@ -1103,6 +1103,46 @@ QUALIFY event_type = 'error'
 """
 
 
+def q_csvw2rdf_header_nation(spark, sf_dir):
+    """P11 header-driven naming end-to-end (convertor.ts:409-592): nation
+    written as a bare CSV with NO descriptor; column names derive from the
+    header row (percent-encoded, '-' → %2D), predicates are url#name, and
+    subjects are per-row skolem bnodes (no aboutUrl)."""
+    import csv as _csv
+
+    from csvw_rdf_convertor_spark.sources.csv_source import read_csv
+    from csvw_rdf_convertor_spark.sources.resolve import resolve_with_header
+
+    rows = (_p(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey").collect())  # nation is a 25-row constant
+    path = "/tmp/csvw_gate_header_nation.csv"
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["nation key", "n-name", "region key"])
+        for r in rows:
+            w.writerow([r.n_nationkey, r.n_name, r.n_regionkey])
+
+    tg = resolve_with_header(path)
+    table = with_order(tg.tables[0], "nation key")
+    df = read_csv(spark, path, table)
+    return table_to_triples(df, table).select(*TRIPLE_OUT)
+
+
+_HDR_PATH = "/tmp/csvw_gate_header_nation.csv"
+_SK_CELLSUBJ = _sk_sql(f"'{_HDR_PATH}'", "'cellsubj'", "CAST(rn AS VARCHAR)")
+SQL_HEADER_NATION = f"""
+WITH n AS (SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name AS nm,
+                  CAST(n_regionkey AS VARCHAR) AS rk,
+                  row_number() OVER (ORDER BY CAST(n_nationkey AS VARCHAR)) AS rn
+           FROM nation)
+SELECT {_SK_CELLSUBJ} AS subj, '{_HDR_PATH}#nation%20key' AS pred,
+       k AS obj_lex, 'literal' AS obj_kind, '' AS obj_dtype, '' AS obj_lang FROM n
+UNION ALL SELECT {_SK_CELLSUBJ}, '{_HDR_PATH}#n%2Dname', nm, 'literal', '', '' FROM n
+UNION ALL SELECT {_SK_CELLSUBJ}, '{_HDR_PATH}#region%20key', rk, 'literal', '', '' FROM n
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing (Arrow mapInPandas, deterministic fake decoder).
 
@@ -1195,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_stats": q_kg_mention_stats,
         "cc_components": q_cc_components,
         # inverse direction + battery extensions
+        "csvw2rdf_header_nation": q_csvw2rdf_header_nation,
         "a5_labels": q_a5_labels,
         "rdf2csvw_roundtrip": q_rdf2csvw_roundtrip,
         "p5_numeric_battery": q_p5_numeric_battery,
@@ -1240,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_stats": SQL_MENTION_STATS,
         "cc_components": SQL_CC_COMPONENTS,
         "multimodal_features": SQL_MULTIMODAL,
+        "csvw2rdf_header_nation": SQL_HEADER_NATION,
         "a5_labels": SQL_A5_LABELS,
         "rdf2csvw_roundtrip": SQL_RDF2CSVW_ROUNDTRIP,
         "p5_numeric_battery": SQL_P5_BATTERY,

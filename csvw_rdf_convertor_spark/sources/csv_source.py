@@ -65,7 +65,11 @@ def read_csv(spark: SparkSession, path: str, table: TableSpec) -> DataFrame:
         df = (df.withColumn("__idx", F.row_number().over(w))
               .where(F.col("__idx") > skip_total).drop("__idx"))
 
-    names = [c.name for c in table.columns if not c.virtual]
+    # physical columns are named by their *source* name (the title-derived
+    # physical identity) — the spec's RDF-facing `name` may be percent-
+    # encoded (header-driven naming) and the mapping stage resolves cells
+    # via col.source first
+    names = [c.source or c.name for c in table.columns if not c.virtual]
     n_cols = len(names) + d.skipColumns
     schema = ", ".join(f"`_c{i}` string" for i in range(n_cols))
     parsed = df.select(F.from_csv(F.col("value"), schema,

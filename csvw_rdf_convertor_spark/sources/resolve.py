@@ -94,3 +94,30 @@ def resolve_descriptor(csv_url: str, *, cache: FetchCache | None = None,
         if "url" not in raw and "tables" not in raw:
             raw = {**raw, "url": csv_url}
     return parse_descriptor(raw, base or "")
+
+
+def resolve_with_header(csv_url: str, *, cache: FetchCache | None = None,
+                        base: str | None = None) -> TableGroupSpec:
+    """The reference's full default invocation (P11): locate metadata (or
+    fall back to a bare url-bound table), then merge each table's own CSV
+    header rows into its schema (processCsvHeader, sources/header.py) —
+    so a descriptor-less CSV converts end-to-end with header-derived,
+    percent-encoded column names."""
+    from ..spec import context_language
+    from .header import apply_csv_header
+
+    cache = cache or FetchCache()
+    meta = locate_metadata(csv_url, cache)
+    if meta is None:
+        raw: dict = {"url": csv_url, "tableSchema": {"columns": []}}
+    else:
+        raw = cache.load_json(meta)
+        if "url" not in raw and "tables" not in raw:
+            raw = {**raw, "url": csv_url}
+    ctx_lang = context_language(raw)
+    group_lang = raw.get("lang")
+    for t in (raw["tables"] if "tables" in raw else [raw]):
+        lang = t.get("lang") or group_lang or ctx_lang or "@none"
+        apply_csv_header(t, cache.overrides.apply(t.get("url", csv_url)),
+                         default_lang=lang)
+    return parse_descriptor(raw, base or "")

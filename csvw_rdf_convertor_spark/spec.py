@@ -278,13 +278,53 @@ def _coerce_titles(raw: Any) -> tuple[str, ...]:
     raise ValueError(f"bad titles: {raw!r}")
 
 
-def parse_column(raw: dict, index: int, inherited: dict, base: str = "") -> ColumnSpec:
+def _titles_and_name(raw: Any, default_lang: str = "@none"
+                     ) -> tuple[tuple[str, ...], str | None]:
+    """(flattened titles, name-eligible title or None).
+
+    Language-map rules (reference convertor.ts:471-478 + 566-588):
+    ``@none`` keys are promoted to the default language when the default
+    language is absent; only titles under the default language — or under a
+    key that *starts with* it, e.g. ``en-US`` for default ``en`` — may
+    become the column name. Plain string / array titles are always
+    name-eligible (first entry). A language-map title in some OTHER
+    language yields no name → the ``_col.N`` fallback applies.
+    """
+    if raw is None:
+        return (), None
+    if isinstance(raw, str):
+        return (raw,), raw
+    if isinstance(raw, list):
+        return tuple(raw), (raw[0] if raw else None)
+    if isinstance(raw, dict):
+        d: dict[str, list[str]] = {
+            k: ([v] if isinstance(v, str) else list(v)) for k, v in raw.items()}
+        if "@none" in d and default_lang not in d:
+            d[default_lang] = d.pop("@none")
+        name: str | None = None
+        if d.get(default_lang):
+            name = d[default_lang][0]
+        else:
+            for k, v in d.items():
+                if k.startswith(default_lang) and v:
+                    name = v[0]
+                    break
+        ordered: list[str] = list(d.get(default_lang, ()))
+        for k, v in d.items():
+            if k != default_lang:
+                ordered.extend(v)
+        return tuple(ordered), name
+    raise ValueError(f"bad titles: {raw!r}")
+
+
+def parse_column(raw: dict, index: int, inherited: dict, base: str = "",
+                 default_lang: str = "@none") -> ColumnSpec:
     """Column name derivation + inheritance (reference: convertor.ts:566-604)."""
     merged = _merge_inherited(raw, inherited)
-    titles = _coerce_titles(merged.get("titles"))
+    titles, name_title = _titles_and_name(merged.get("titles"), default_lang)
     name = merged.get("name")
     if not name:
-        name = encode_column_name(titles[0]) if titles else f"_col.{index + 1}"
+        name = encode_column_name(name_title) if name_title else f"_col.{index + 1}"
     nulls = merged.get("null", "")
     if isinstance(nulls, str):
         nulls = (nulls,)
@@ -310,14 +350,18 @@ def parse_column(raw: dict, index: int, inherited: dict, base: str = "") -> Colu
     )
 
 
-def parse_table(raw: dict, group_inherited: dict | None = None, base: str = "") -> TableSpec:
+def parse_table(raw: dict, group_inherited: dict | None = None, base: str = "",
+                context_lang: str | None = None) -> TableSpec:
     inherited = _merge_inherited(raw, group_inherited or {})
     schema = raw.get("tableSchema", {})
     inherited = _merge_inherited(schema, inherited)
+    # default language for title naming: table lang (inherited) → @context
+    # @language → '@none' (reference convertor.ts:413-417)
+    default_lang = inherited.get("lang") or context_lang or "@none"
     cols = []
     seen: set[str] = set()
     for i, c in enumerate(schema.get("columns", [])):
-        col = parse_column(c, i, inherited, base)
+        col = parse_column(c, i, inherited, base, default_lang)
         if col.name in seen and not col.virtual:
             raise ValueError(f"duplicate column name {col.name!r}")  # convertor.ts:594-604
         seen.add(col.name)
@@ -347,8 +391,19 @@ def parse_table(raw: dict, group_inherited: dict | None = None, base: str = "") 
     )
 
 
+def context_language(raw: dict) -> str | None:
+    """``@language`` from a compact @context ([url, {...}] form)."""
+    ctx = raw.get("@context")
+    if isinstance(ctx, list):
+        for part in ctx:
+            if isinstance(part, dict) and "@language" in part:
+                return part["@language"]
+    return None
+
+
 def parse_descriptor(raw: dict, base: str = "") -> TableGroupSpec:
     """Parse a (compact-form) CSVW descriptor dict into a TableGroupSpec."""
+    ctx_lang = context_language(raw)
     if "tables" in raw:
         inherited = {k: raw[k] for k in INHERITED_PROPS if k in raw}
         dialect = raw.get("dialect")
@@ -356,9 +411,9 @@ def parse_descriptor(raw: dict, base: str = "") -> TableGroupSpec:
         for t in raw["tables"]:
             if dialect and "dialect" not in t:
                 t = {**t, "dialect": dialect}
-            tables.append(parse_table(t, inherited, base))
+            tables.append(parse_table(t, inherited, base, ctx_lang))
         return TableGroupSpec(tables=tuple(tables), base=base)
-    return TableGroupSpec(tables=(parse_table(raw, {}, base),), base=base)
+    return TableGroupSpec(tables=(parse_table(raw, {}, base, ctx_lang),), base=base)
 
 
 def with_order(table: TableSpec, order_by: str) -> TableSpec:

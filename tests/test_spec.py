@@ -26,7 +26,11 @@ def test_default_column_names_and_titles():
     })
     assert t.columns[0].name == "My%20Title"
     assert t.columns[1].name == "_col.2"       # convertor.ts:571,590
-    assert t.columns[2].name == "English"
+    # language-map titles in a NON-default language are not name-eligible
+    # (convertor.ts:578-590: only defaultLang / defaultLang-prefixed keys
+    # may name the column; default is '@none' here) → _col.N fallback
+    assert t.columns[2].name == "_col.3"
+    assert set(t.columns[2].titles) == {"English", "Czech"}
 
 
 def test_duplicate_column_names_rejected():
