@@ -28,7 +28,8 @@ from csvw_rdf_convertor_spark.kg.synth import alias_dictionary
 from csvw_rdf_convertor_spark.ops import dedup, similarity, text as text_ops
 from csvw_rdf_convertor_spark.plans.csvw2rdf import table_to_triples
 from csvw_rdf_convertor_spark.plans import rdf2csvw
-from csvw_rdf_convertor_spark.spec import parse_descriptor, with_order
+from csvw_rdf_convertor_spark.spec import (DatatypeSpec, parse_descriptor,
+                                           with_order)
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
 CSVW = "http://www.w3.org/ns/csvw#"
@@ -1039,6 +1040,72 @@ FROM nation
 """
 
 
+def q_rdf2csvw_format_roundtrip(spark, sf_dir):
+    """rdf2csvw OUTPUT FORMATTING end-to-end (bindings-to-row-transformation
+    .ts:16-85, url-trimming.ts, format-boolean/number.ts): forward-convert a
+    nation-derived table whose columns use a valueUrl IRI template, a
+    boolean 'Y|N' format and an LDML number pattern, then reconstruct the
+    rows — trimmed + formatted cells must equal the original CSV values."""
+    u = "urn:natfmt"
+    desc = {
+        "url": u,
+        "tableSchema": {
+            "aboutUrl": "#n-{n_nationkey}",
+            "columns": [
+                {"name": "n_nationkey", "suppressOutput": True},
+                {"name": "n_regionkey", "datatype": "integer",
+                 "valueUrl": "urn:region-{n_regionkey}"},
+                {"name": "flag",
+                 "datatype": {"base": "boolean", "format": "Y|N"}},
+                {"name": "price", "datatype": "decimal"},
+                {"name": "note", "null": [""]},
+            ],
+        },
+    }
+    df = _p(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("n_nationkey"),
+        F.col("n_regionkey").cast("string").alias("n_regionkey"),
+        F.when(F.col("n_nationkey") % 2 == 0, F.lit("Y")).otherwise(F.lit("N"))
+         .alias("flag"),
+        F.concat((F.col("n_nationkey") * 1000 + 234).cast("string"), F.lit(".5"))
+         .alias("price"),
+        F.when(F.col("n_nationkey") < 5,
+               F.concat(F.lit("note-"), F.col("n_nationkey").cast("string")))
+         .otherwise(F.lit("")).alias("note"))
+    table = with_order(parse_descriptor(desc).tables[0], "n_nationkey")
+    triples = table_to_triples(df, table)
+
+    pats = [
+        rdf2csvw.TriplePattern("n_regionkey", f"{u}#n_regionkey", required=True,
+                               valueUrl="urn:region-{n_regionkey}",
+                               datatype=DatatypeSpec(base="integer")),
+        rdf2csvw.TriplePattern("flag", f"{u}#flag",
+                               datatype=DatatypeSpec(base="boolean",
+                                                     format="Y|N")),
+        rdf2csvw.TriplePattern("price", f"{u}#price",
+                               datatype=DatatypeSpec(
+                                   base="decimal",
+                                   format={"pattern": "#,##0.00"})),
+        rdf2csvw.TriplePattern("note", f"{u}#note", null=("NONE",)),
+    ]
+    return rdf2csvw.match_patterns(triples, pats)
+
+
+SQL_RDF2CSVW_FORMAT = """
+WITH n AS (SELECT n_nationkey AS k, n_regionkey AS rk,
+                  n_nationkey * 1000 + 234 AS pint FROM nation)
+SELECT 'urn:natfmt#n-' || CAST(k AS VARCHAR) AS subj,
+       CAST(rk AS VARCHAR) AS n_regionkey,
+       CASE WHEN k % 2 = 0 THEN 'Y' ELSE 'N' END AS flag,
+       CASE WHEN pint >= 1000
+            THEN CAST(pint // 1000 AS VARCHAR) || ',' ||
+                 lpad(CAST(pint % 1000 AS VARCHAR), 3, '0')
+            ELSE CAST(pint AS VARCHAR) END || '.50' AS price,
+       CASE WHEN k < 5 THEN 'note-' || CAST(k AS VARCHAR) ELSE 'NONE' END AS note
+FROM n
+"""
+
+
 def q_p5_numeric_battery(spark, sf_dir):
     """P5 shapes on constructed lexicals: percent doubles, grouped decimals,
     specials, invalid demotion — built identically in both engines."""
@@ -1238,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csvw2rdf_header_nation": q_csvw2rdf_header_nation,
         "a5_labels": q_a5_labels,
         "rdf2csvw_roundtrip": q_rdf2csvw_roundtrip,
+        "rdf2csvw_format_roundtrip": q_rdf2csvw_format_roundtrip,
         "p5_numeric_battery": q_p5_numeric_battery,
         "issues_required": q_issues_required,
         "multimodal_features": q_multimodal_features,
@@ -1284,6 +1352,7 @@ def oracle_sql() -> dict[str, str]:
         "csvw2rdf_header_nation": SQL_HEADER_NATION,
         "a5_labels": SQL_A5_LABELS,
         "rdf2csvw_roundtrip": SQL_RDF2CSVW_ROUNDTRIP,
+        "rdf2csvw_format_roundtrip": SQL_RDF2CSVW_FORMAT,
         "p5_numeric_battery": SQL_P5_BATTERY,
         "issues_required": SQL_ISSUES,
     }

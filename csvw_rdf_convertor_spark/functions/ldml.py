@@ -98,3 +98,78 @@ def ldml_number_udf(pattern: str, base: str):
         return _parse_series(s, pattern, base)
 
     return _udf
+
+
+# --- LDML number FORMATTING (rdf2csvw output direction) ----------------------
+
+def format_number_ldml(num: float, pattern: str, group_char: str = ",",
+                       decimal_char: str = ".") -> str:
+    """Format a number per an LDML pattern (reference: format-number.ts:
+    260-297 via the ldml-number lib; same subset as :func:`compile_ldml` —
+    prefix/suffix, 0/# digit slots, primary grouping, %/‰ scaling,
+    ';'-separated negative subpattern whose prefix/suffix are honored)."""
+    import math
+
+    parts = pattern.split(";")
+    positive, negative = parts[0], (parts[1] if len(parts) > 1 else None)
+    m = re.match(r"^([^#0]*)([#0,]*)(?:\.([#0]+))?([^#0]*)$", positive)
+    if not m:
+        raise ValueError(f"unsupported LDML pattern: {pattern!r}")
+    prefix, int_part, frac_part, suffix = (
+        m.group(1), m.group(2), m.group(3) or "", m.group(4))
+    scale = 100 if "%" in positive else 1000 if "‰" in positive else 1
+
+    is_neg = math.copysign(1.0, num) < 0
+    if negative is not None:
+        nm = re.match(r"^([^#0]*)[#0,.]*([^#0]*)$", negative)
+        neg_prefix, neg_suffix = (nm.group(1), nm.group(2)) if nm else ("-", "")
+    else:
+        neg_prefix, neg_suffix = "-" + prefix, suffix
+
+    if math.isnan(num):
+        return "NaN"
+    if math.isinf(num):
+        body = "INF"
+        return (neg_prefix + body + neg_suffix) if is_neg \
+            else (prefix + body + suffix)
+
+    x = abs(num) * scale
+    min_int = int_part.replace(",", "").count("0")
+    min_frac = frac_part.count("0")
+    max_frac = len(frac_part)
+    groups = int_part.split(",")
+    primary = len(groups[-1]) if len(groups) > 1 else 0
+
+    s = f"{x:.{max_frac}f}"
+    int_digits, _, frac_digits = s.partition(".")
+    frac_digits = frac_digits.rstrip("0")
+    while len(frac_digits) < min_frac:
+        frac_digits += "0"
+    int_digits = int_digits.lstrip("0")
+    while len(int_digits) < min_int:
+        int_digits = "0" + int_digits
+    if not int_digits:
+        int_digits = "0"  # '#.##'(0.25) → '0.25' (DecimalFormat behavior)
+    if primary and len(int_digits) > primary:
+        chunks = []
+        i = len(int_digits)
+        while i > primary:
+            chunks.append(int_digits[i - primary:i])
+            i -= primary
+        chunks.append(int_digits[:i])
+        int_digits = group_char.join(reversed(chunks))
+    body = int_digits + (decimal_char + frac_digits if frac_digits else "")
+    return (neg_prefix + body + neg_suffix) if is_neg else (prefix + body + suffix)
+
+
+def ldml_format_udf(pattern: str, group_char: str = ",",
+                    decimal_char: str = "."):
+    """Series→Series pandas UDF: lexical number → LDML-formatted string."""
+
+    @F.pandas_udf(StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else format_number_ldml(
+            float(v.replace("INF", "inf") if "INF" in v else v),
+            pattern, group_char, decimal_char))
+
+    return _udf

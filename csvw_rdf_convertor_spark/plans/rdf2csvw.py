@@ -16,7 +16,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..spec import RDF, XSD
+from ..spec import RDF, XSD, DatatypeSpec
 
 RDF_TYPE = RDF + "type"
 LABEL_PREDS = (
@@ -143,10 +143,21 @@ def labels(triples: DataFrame) -> DataFrame:
 
 @dataclass(frozen=True)
 class TriplePattern:
-    """One column's pattern: bind ?value where (?subj, pred, ?value)."""
+    """One column's pattern: bind ?value where (?subj, pred, ?value).
+
+    The output-formatting fields mirror bindings-to-row-transformation.ts:
+    ``valueUrl`` trims IRI objects back to cell values (rdf:type columns
+    trim against ``table_about`` instead), ``datatype`` drives the
+    per-datatype output formatter, ``null`` supplies the substitution
+    string for unbound OPTIONAL cells (first entry; '' when None but
+    formatting is requested)."""
     name: str
     pred: str
     required: bool = False
+    valueUrl: str | None = None
+    datatype: "DatatypeSpec | None" = None
+    null: tuple[str, ...] | None = None
+    table_about: str | None = None
 
 
 @dataclass(frozen=True)
@@ -236,14 +247,42 @@ def reconstruct_tables(triples: DataFrame) -> dict[str, DataFrame]:
     return out
 
 
+def _format_binding(p: TriplePattern, col) -> "F.Column":
+    """Per-column output pipeline (bindings-to-row-transformation.ts:44-82):
+    trim the IRI via the inverse template, then format per datatype."""
+    from ..functions.formatters import format_value, trim_url
+    out = col
+    if p.pred == RDF_TYPE and p.table_about:
+        out = trim_url(out, p.table_about, p.name)
+    elif p.valueUrl:
+        out = trim_url(out, p.valueUrl, p.name)
+    return format_value(out, p.datatype)
+
+
 def match_patterns(triples: DataFrame, patterns: list[TriplePattern]) -> DataFrame:
     """Reconstruct rows: seed = DISTINCT subjects (J3 guard, create-query.ts:
     133-137), then one join per pattern — inner for required (J1), left for
-    OPTIONAL (J2). Catalyst broadcasts the small filtered slices."""
+    OPTIONAL (J2). Catalyst broadcasts the small filtered slices.
+
+    Columns whose pattern carries formatting fields get the reference's
+    output pipeline: inverse-template URL trimming, per-datatype formatting
+    and null substitution (unbound cell → null[0], '' default) — raw
+    ``obj_lex`` passthrough otherwise (back-compat with value-level
+    consumers)."""
     seed = triples.select("subj").distinct()
     out = seed
     for p in patterns:
         side = (triples.where(F.col("pred") == p.pred)
                 .select(F.col("subj"), F.col("obj_lex").alias(p.name)))
         out = out.join(side, "subj", "inner" if p.required else "left")
-    return out
+    exprs = []
+    for p in patterns:
+        c = F.col(p.name)
+        formatted = p.valueUrl or p.datatype is not None or p.table_about
+        if formatted:
+            c = _format_binding(p, c)
+        if p.null is not None or formatted:
+            subst = p.null[0] if p.null else ""
+            c = F.coalesce(c, F.lit(subst))
+        exprs.append(c.alias(p.name))
+    return out.select("subj", *exprs)
