@@ -159,11 +159,13 @@ FROM orders
 
 
 def q_csvw2rdf_standard_region(spark, sf_dir):
-    """T7/T2/T9/W1: standard-mode scaffolding with skolemized row nodes."""
+    """T7/T2/T9/W1: standard-mode scaffolding with skolemized row nodes,
+    including rowTitles → csvw:title (convertor.ts:650-667)."""
     desc = {
         "url": "urn:region",
         "tableSchema": {
             "aboutUrl": "#r-{r_regionkey}",
+            "rowTitles": ["r_name"],
             "columns": [
                 {"name": "r_regionkey", "datatype": "integer"},
                 {"name": "r_name", "datatype": "string"},
@@ -190,6 +192,7 @@ UNION ALL SELECT {_SK_ROW}, '{CSVW}rownum', CAST(rn AS VARCHAR), 'literal',
 UNION ALL SELECT {_SK_ROW}, '{CSVW}url', 'urn:region#row=' || CAST(rn + 1 AS VARCHAR),
        'iri', '', '' FROM r
 UNION ALL SELECT {_SK_ROW}, '{CSVW}describes', 'urn:region#r-' || k, 'iri', '', '' FROM r
+UNION ALL SELECT {_SK_ROW}, '{CSVW}title', nm, 'literal', '', '' FROM r
 UNION ALL SELECT {_SK_TABLE}, '{RDFNS}type', '{CSVW}Table', 'iri', '', ''
 UNION ALL SELECT {_SK_TABLE}, '{CSVW}url', 'urn:region', 'iri', '', ''
 UNION ALL SELECT '_:skgroup', '{RDFNS}type', '{CSVW}TableGroup', 'iri', '', ''
@@ -1107,26 +1110,41 @@ FROM n
 
 
 def q_p5_numeric_battery(spark, sf_dir):
-    """P5 shapes on constructed lexicals: percent doubles, grouped decimals,
+    """P5 shapes on constructed lexicals: trailing AND leading percents,
+    integer-family % division (parse-number.ts:151-176), grouped decimals
+    with empty-segment rejection, tiny (<1e-4) and huge (1e20) doubles
+    exercising the JS positional/exponential canonicalization zones,
     specials, invalid demotion — built identically in both engines."""
     from csvw_rdf_convertor_spark.functions import cells
-    from csvw_rdf_convertor_spark.spec import ColumnSpec, DatatypeSpec
     part = _p(spark, sf_dir, "part")
+    digit = (F.col("p_partkey") % 9 + 1).cast("string")
     src = part.select(
         "p_partkey",
         F.concat((F.col("p_partkey") % 200).cast("string"), F.lit("%")).alias("pct_in"),
+        F.concat(F.lit("%"), (F.col("p_partkey") % 200).cast("string")).alias("lead_in"),
         F.when(F.col("p_partkey") % 7 == 0, F.lit("abc"))
          .otherwise(F.concat(F.lit("+0"), (F.col("p_partkey") % 50).cast("string")))
          .alias("int_in"),
+        F.concat((F.col("p_partkey") % 300).cast("string"), F.lit("%")).alias("intpct_in"),
         F.concat(F.lit("1.2"), (F.col("p_partkey") % 10).cast("string"), F.lit("4,5"))
-         .alias("grp_in"))
-    pct = cells.parse_number(F.col("pct_in"), DatatypeSpec(base="double"))
-    iv = cells.parse_number(F.col("int_in"), DatatypeSpec(base="integer"))
-    grp = cells.parse_number(
-        F.col("grp_in"),
-        DatatypeSpec(base="decimal", format={"groupChar": ".", "decimalChar": ","}))
-    return src.select("p_partkey", pct.alias("pct_out"), iv.alias("int_out"),
-                      grp.alias("grp_out"))
+         .alias("grp_in"),
+        F.concat(F.lit("1..2"), (F.col("p_partkey") % 10).cast("string"), F.lit(",5"))
+         .alias("badgrp_in"),
+        F.concat(digit, F.lit("E-5")).alias("tiny_in"),
+        F.concat(digit, F.lit("E20")).alias("big_in"))
+    dbl = DatatypeSpec(base="double")
+    grp_fmt = DatatypeSpec(base="decimal",
+                           format={"groupChar": ".", "decimalChar": ","})
+    return src.select(
+        "p_partkey",
+        cells.parse_number(F.col("pct_in"), dbl).alias("pct_out"),
+        cells.parse_number(F.col("lead_in"), dbl).alias("lead_out"),
+        cells.parse_number(F.col("int_in"), DatatypeSpec(base="integer")).alias("int_out"),
+        cells.parse_number(F.col("intpct_in"), DatatypeSpec(base="integer")).alias("intpct_out"),
+        cells.parse_number(F.col("grp_in"), grp_fmt).alias("grp_out"),
+        cells.parse_number(F.col("badgrp_in"), grp_fmt).alias("badgrp_out"),
+        cells.parse_number(F.col("tiny_in"), dbl).alias("tiny_out"),
+        cells.parse_number(F.col("big_in"), dbl).alias("big_out"))
 
 
 SQL_P5_BATTERY = """
@@ -1134,9 +1152,18 @@ SELECT p_partkey,
        CASE WHEN (p_partkey % 200) % 100 = 0
             THEN CAST(CAST((p_partkey % 200) / 100 AS BIGINT) AS VARCHAR)
             ELSE CAST((p_partkey % 200) / 100.0 AS VARCHAR) END AS pct_out,
+       CASE WHEN (p_partkey % 200) % 100 = 0
+            THEN CAST(CAST((p_partkey % 200) / 100 AS BIGINT) AS VARCHAR)
+            ELSE CAST((p_partkey % 200) / 100.0 AS VARCHAR) END AS lead_out,
        CASE WHEN p_partkey % 7 = 0 THEN '@@invalid@@abc'
             ELSE CAST(p_partkey % 50 AS VARCHAR) END AS int_out,
-       '12' || CAST(p_partkey % 10 AS VARCHAR) || '4.5' AS grp_out
+       CASE WHEN (p_partkey % 300) % 100 = 0
+            THEN CAST(CAST((p_partkey % 300) / 100 AS BIGINT) AS VARCHAR)
+            ELSE CAST((p_partkey % 300) / 100.0 AS VARCHAR) END AS intpct_out,
+       '12' || CAST(p_partkey % 10 AS VARCHAR) || '4.5' AS grp_out,
+       '@@invalid@@1..2' || CAST(p_partkey % 10 AS VARCHAR) || ',5' AS badgrp_out,
+       '0.0000' || CAST(p_partkey % 9 + 1 AS VARCHAR) AS tiny_out,
+       CAST(p_partkey % 9 + 1 AS VARCHAR) || repeat('0', 20) AS big_out
 FROM part
 """
 

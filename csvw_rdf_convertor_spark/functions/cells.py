@@ -158,15 +158,27 @@ def parse_number(value: Column, dt: DatatypeSpec) -> Column:
         return ldml_number_udf(pattern, base)(value)
 
     v = value
+    grp_ok = F.lit(True)
     if grp_char:
+        # empty group segments ('1,,200', ',5', '5,') are invalid BEFORE
+        # stripping (parse-number.ts:148: split(groupChar).some(len==0))
+        grp_ok = ~(value.startswith(grp_char) | value.endswith(grp_char)
+                   | value.contains(grp_char + grp_char))
         v = F.replace(v, F.lit(grp_char), F.lit(""))
     if dec_char != ".":
         v = F.replace(v, F.lit(dec_char), F.lit("."))
 
-    # percent / permille (parse-number.ts:143-177)
-    pct = v.endswith("%")
-    pml = v.endswith("‰")
-    core = F.when(pct | pml, v.substr(F.lit(1), F.length(v) - 1)).otherwise(v)
+    # percent / permille, trailing then leading (parse-number.ts:151-164:
+    # else-if chain — a trailing sign wins, leading only checked otherwise)
+    pct_t = v.endswith("%")
+    pml_t = ~pct_t & v.endswith("‰")
+    pct_l = ~pct_t & ~pml_t & v.startswith("%")
+    pml_l = ~pct_t & ~pml_t & ~pct_l & v.startswith("‰")
+    pct = pct_t | pct_l
+    pml = pml_t | pml_l
+    core = (F.when(pct_t | pml_t, v.substr(F.lit(1), F.length(v) - 1))
+            .when(pct_l | pml_l, v.substr(F.lit(2), F.length(v) - 1))
+            .otherwise(v))
 
     if base in ("double", "float", "number"):
         ok = core.rlike(f"^{DOUBLE_RE}$")
@@ -186,15 +198,24 @@ def parse_number(value: Column, dt: DatatypeSpec) -> Column:
         lex = _canonical_decimal_str(num.cast("string"), core)
     else:  # integer family
         ok = core.rlike(f"^{INTEGER_RE}$")
-        num = core.cast("decimal(38,0)")
+        raw = core.try_cast("decimal(38,0)")  # >38-digit lexicals → null, not ANSI error
         lo, hi = INT_RANGES.get(base, (None, None))
         if lo is not None:  # bounds as strings: 2^64-1 overflows a JVM long literal
-            ok = ok & (num >= F.lit(str(lo)).cast("decimal(38,0)"))
+            ok = ok & (raw >= F.lit(str(lo)).cast("decimal(38,0)"))
         if hi is not None:
-            ok = ok & (num <= F.lit(str(hi)).cast("decimal(38,0)"))
-        ok = ok & ~pct & ~pml  # %/‰ cannot yield an integer-family value
-        lex = F.when(core.rlike("^-0+$"), F.lit("-0")).otherwise(num.cast("string"))
+            ok = ok & (raw <= F.lit(str(hi)).cast("decimal(38,0)"))
+        # %/‰ divide like every other family (parse-number.ts:170-176 has no
+        # integrality check: '500%' integer → '5', '50%' integer → '0.5' —
+        # the reference emits transformedNumber+'' verbatim); extents above
+        # apply to the PRE-division value, min/max facets to the result
+        num = F.when(pct, raw.cast("decimal(38,10)") / 100) \
+               .when(pml, raw.cast("decimal(38,10)") / 1000) \
+               .otherwise(raw.cast("decimal(38,10)"))
+        lex = (F.when(core.rlike("^-0+$"), F.lit("-0"))
+               .when(pct | pml, _canonical_decimal_str(num.cast("string"), core))
+               .otherwise(raw.cast("string")))
 
+    ok = ok & grp_ok
     ok = _apply_min_max(ok, num, dt)
     return F.when(ok & num.isNotNull() | (ok & core.isin("INF", "+INF", "-INF", "NaN")),
                   lex).otherwise(_invalid(value))
@@ -213,20 +234,49 @@ def _apply_min_max(ok: Column, num: Column, dt: DatatypeSpec) -> Column:
     return ok
 
 
+def _strip_frac_zeros(s: Column) -> Column:
+    out = F.regexp_replace(s, r"(\.\d*?)0+$", "$1")
+    return F.regexp_replace(out, r"\.$", "")
+
+
 def _canonical_double(num: Column, core: Column, transformed: Column) -> Column:
-    """JS ``Number.prototype.toString``-style canonical form (the reference
-    re-emits ``transformedNumber + ''`` — parse-number.ts:140): integral
-    values print without a fractional part; ``-0`` is preserved (:139)."""
-    as_long = num.cast("long")
+    """JS ``Number.prototype.toString``-canonical form (the reference
+    re-emits ``transformedNumber + ''`` — parse-number.ts:140).
+
+    JS prints positionally for 1e-6 ≤ |x| < 1e21 and exponentially
+    (``1.5e-7`` / ``1e+21``) outside; Java's ``Double.toString`` switches at
+    1e-3/1e7 — so the positional zone renders through a decimal cast (Spark
+    double→decimal goes via the shortest round-trip digits, exactly JS's
+    digit selection), tiered by magnitude so the scale always covers the
+    shortest representation: ≤1e14 → scale 24 (≤23 frac digits needed),
+    else → scale 6 (≥1e14 needs ≤3). The exponential zone reshapes Java's
+    form (``1.0E-7`` → ``1e-7``, ``1.0E21`` → ``1e+21``). Known corner: Java
+    prints a few subnormals with one extra digit (``4.9E-324`` vs JS
+    ``5e-324``). ``-0`` is preserved (:139)."""
+    # try_cast everywhere: ANSI mode is on and these casts sit in CaseWhen
+    # conditions, where an overflow would raise instead of yielding null
+    as_long = num.try_cast("long")
     integral = num.isNotNull() & (num == as_long.cast("double")) & (F.abs(num) < 1e15)
     neg_zero = (num == 0) & (core.startswith("-"))
+    positional = F.when(F.abs(num) < 1e14,
+                        _strip_frac_zeros(num.try_cast("decimal(38,24)").cast("string"))) \
+                  .otherwise(_strip_frac_zeros(num.try_cast("decimal(38,6)").cast("string")))
+    positional_ok = (F.abs(num) >= 1e-6) & (F.abs(num) < 1e21) & positional.isNotNull()
+    s = num.cast("string")
+    mant = F.regexp_replace(F.regexp_extract(s, r"^(-?[\d.]+)E", 1), r"\.0$", "")
+    exp = F.regexp_extract(s, r"E(-?\d+)$", 1)
+    js_exp = F.when(exp == "", s).otherwise(
+        F.concat(mant, F.lit("e"),
+                 F.when(exp.startswith("-"), exp)
+                 .otherwise(F.concat(F.lit("+"), exp))))
     return (
         F.when(F.isnan(num), F.lit("NaN"))
         .when(num == float("inf"), F.lit("INF"))
         .when(num == float("-inf"), F.lit("-INF"))
         .when(neg_zero, F.lit("-0"))
         .when(integral, as_long.cast("string"))
-        .otherwise(num.cast("string"))
+        .when(positional_ok, positional)
+        .otherwise(js_exp)
     )
 
 

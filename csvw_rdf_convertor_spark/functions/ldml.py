@@ -58,6 +58,31 @@ def compile_ldml(pattern: str) -> tuple[re.Pattern, int, int, int, int]:
     return rx, min_int, min_frac, max_frac, primary
 
 
+def js_number_str(num: float) -> str:
+    """JS ``Number.prototype.toString`` twin (driver-side): positional for
+    1e-6 ≤ |x| < 1e21 (and integral values without a fraction), exponential
+    ``d.dde±x`` outside — unlike ``repr``, which goes scientific below 1e-4
+    (ADVICE r01: repr(1.5e-05) = '1.5e-05' where JS prints '0.000015')."""
+    import math
+    if math.isnan(num):
+        return "NaN"
+    if math.isinf(num):
+        return "INF" if num > 0 else "-INF"
+    if num == int(num) and abs(num) < 1e21:
+        return str(int(num))
+    r = repr(num)
+    if "e" not in r:
+        return r
+    mant, exp_s = r.split("e")
+    exp = int(exp_s)
+    if -7 < exp < 21:
+        from decimal import Decimal
+        return format(Decimal(r), "f")
+    if mant.endswith(".0"):
+        mant = mant[:-2]
+    return f"{mant}e{'+' if exp > 0 else ''}{exp}"
+
+
 def _parse_series(s: pd.Series, pattern: str, base: str) -> pd.Series:
     rx, min_int, min_frac, _, _ = compile_ldml(pattern)
     positive = pattern.split(";")[0]
@@ -76,10 +101,7 @@ def _parse_series(s: pd.Series, pattern: str, base: str) -> pd.Series:
         if scale != 1:
             num /= scale
         if base in ("double", "float", "number", "decimal"):
-            if num == int(num) and abs(num) < 1e15:
-                out = str(int(num))
-            else:
-                out = repr(num)
+            out = js_number_str(num)
             if out in ("0", "0.0") and sign == "-":
                 out = "-0"
             return out

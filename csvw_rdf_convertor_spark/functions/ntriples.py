@@ -56,14 +56,15 @@ def render_object(lex: Column, kind: Column, dtype: Column, lang: Column) -> Col
     )
 
 
-def to_ntriples_lines(triples: DataFrame) -> DataFrame:
-    """triples DF → single-column DF of N-Triples (or N-Quads) lines."""
+def to_ntriples_lines(triples: DataFrame, keep: list[str] = ()) -> DataFrame:
+    """triples DF → DF of N-Triples (or N-Quads) lines (+ ``keep`` columns
+    carried through, e.g. a partition bucket for a partitioned text sink)."""
     s = render_subject(F.col("subj"))
     p = F.concat(F.lit("<"), F.col("pred"), F.lit(">"))
     o = render_object(F.col("obj_lex"), F.col("obj_kind"), F.col("obj_dtype"), F.col("obj_lang"))
     g = F.when(F.col("graph") != "", F.concat(F.lit(" <"), F.col("graph"), F.lit(">"))).otherwise(F.lit(""))
-    return triples.select(F.concat_ws(" ", s, p, o).alias("head"), g.alias("g")) \
-                  .select(F.concat(F.col("head"), F.col("g"), F.lit(" .")).alias("line"))
+    return triples.select(*keep, F.concat_ws(" ", s, p, o).alias("head"), g.alias("g")) \
+                  .select(*keep, F.concat(F.col("head"), F.col("g"), F.lit(" .")).alias("line"))
 
 
 def write_ntriples(triples: DataFrame, path: str) -> None:

@@ -198,8 +198,13 @@ def run(transcripts: DataFrame, out_dir: str, *,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("bucket").parquet(f"{out_dir}/triples"))
     if write_nt:
-        (to_ntriples_lines(all_triples.select(*TRIPLE_COLS))
-         .write.mode("append").text(f"{out_dir}/ntriples"))
+        # same dynamic partition overwrite as the parquet sink — a resumed/
+        # retried run REPLACES a bucket's NT files instead of appending
+        # duplicates (exactly-once per bucket holds for both sinks)
+        (to_ntriples_lines(all_triples, keep=["bucket"])
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket").text(f"{out_dir}/ntriples"))
 
     # -- stage 3: manifest (checkpoint + lineage + metrics) -------------------
     # ONE aggregation job for turn/mention/link counts (tagged union instead

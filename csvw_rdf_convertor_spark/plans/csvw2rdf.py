@@ -41,13 +41,18 @@ def _resolve_url(table: TableSpec) -> str:
 
 
 def _row_numbers(df: DataFrame, table: TableSpec,
-                 partition_by: str | None = None) -> DataFrame:
+                 partition_by: str | None = None, *,
+                 allow_arrival_order: bool = False) -> DataFrame:
     """1-based logical row number (reference rowNum: convertor.ts:360-370).
 
     ``order_by`` column → deterministic numbering; with ``partition_by`` the
     sort is per-partition (scale path, no global shuffle to one reducer).
-    Without ``order_by``: arrival order via a per-partition monotonic id
-    (fixture-parity only — testdata fixtures always pass order_by).
+    Without ``order_by`` the plan CONSUMES row numbers it cannot define:
+    the reference's rowNum is the sequential 1..N source order, but a
+    distributed scan has no arrival order — so this raises unless the
+    caller explicitly opts into non-logical ids
+    (``allow_arrival_order=True``, fixture/debug only: values come from
+    ``monotonically_increasing_id`` and are neither sequential nor stable).
     """
     if table.order_by:
         if partition_by:
@@ -55,8 +60,16 @@ def _row_numbers(df: DataFrame, table: TableSpec,
         else:
             w = Window.orderBy(table.order_by)
         rn = F.row_number().over(w)
-    else:
+    elif allow_arrival_order:
         rn = F.monotonically_increasing_id() + 1
+    else:
+        raise ValueError(
+            "this conversion consumes row numbers (standard mode, default "
+            "subjects, ordered lists, or {_row}/{_sourceRow} templates) but "
+            "the table has no order_by column; set one via spec.with_order, "
+            "or pass allow_arrival_order=True to accept non-logical, "
+            "partition-encoded row ids (reference rowNum is sequential "
+            "1..N — convertor.ts:360-370)")
     df = df.withColumn(_ROW, rn.cast("long"))
     return df.withColumn(_SRC_ROW, F.col(_ROW) + F.lit(table.source_row_offset))
 
@@ -84,9 +97,11 @@ def _needs_row_numbers(table: TableSpec, minimal: bool) -> bool:
 
 
 def _maybe_row_numbers(df: DataFrame, table: TableSpec,
-                       partition_by: str | None, minimal: bool) -> DataFrame:
+                       partition_by: str | None, minimal: bool,
+                       allow_arrival_order: bool = False) -> DataFrame:
     if _needs_row_numbers(table, minimal):
-        return _row_numbers(df, table, partition_by)
+        return _row_numbers(df, table, partition_by,
+                            allow_arrival_order=allow_arrival_order)
     return df
 
 
@@ -172,7 +187,8 @@ def _column_triples(col: ColumnSpec, values: Column, table: TableSpec,
 
 def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
                      partition_by: str | None = None,
-                     default_lang: str = "") -> DataFrame:
+                     default_lang: str = "",
+                     allow_arrival_order: bool = False) -> DataFrame:
     """Compile and run the full table conversion; returns the triples DF.
 
     Plan shape (performance-critical): the cell pipeline, the row-record
@@ -191,7 +207,7 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
                 "obj_dtype string, obj_lang string, graph string")
 
     url = _resolve_url(table)
-    df = _maybe_row_numbers(df, table, partition_by, minimal)
+    df = _maybe_row_numbers(df, table, partition_by, minimal, allow_arrival_order)
 
     # stage 1: P1–P10 per column → array<string> columns (evaluated once)
     cell_col: dict[str, str] = {}
@@ -272,6 +288,23 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
                    F.lit("iri"), F.lit(""), F.lit("")),
         )
     ]
+    # T7 rowTitles → csvw:title (convertor.ts:650-667): each rowTitles entry
+    # names a column; its row-record value becomes a (possibly language-
+    # tagged) title literal, skipped when empty (the reference's truthy
+    # check). Unknown names have no rowRecord entry → skipped at plan time.
+    for title in table.rowTitles:
+        rname = rec_col.get(title)
+        if rname is None:
+            continue
+        col = next((c for c in table.columns if c.name == title), None)
+        lang = (col.lang or "") if col else ""
+        val = F.col(rname)
+        t = triple(row_node, F.lit(CSVW + "title"), val,
+                   F.lit("literal"), F.lit(""), F.lit(lang))
+        scaffold.append(
+            F.when(val.isNotNull() & (val != ""), F.array(t))
+            .otherwise(F.array().cast(_EMPTY_TRIPLES)))
+
     # csvw:describes → each distinct subject of the row (deduped by template)
     seen: set[str] = set()
     for col in table.columns:
@@ -319,16 +352,31 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
     return out
 
 
-def group_to_triples(dfs: dict[str, DataFrame], group, *, minimal: bool = True) -> DataFrame:
-    """Convert every (non-suppressed) table of a TableGroupSpec and union."""
+def group_to_triples(dfs: dict[str, DataFrame], group, *, minimal: bool = True,
+                     default_lang: str = "") -> DataFrame:
+    """Convert every (non-suppressed) table of a TableGroupSpec and union.
+
+    Standard mode also re-emits group-scope external annotations on the
+    group node (T8 at TableGroup scope; convertor.ts:177-211
+    emitExternalProps(descriptor, groupNode))."""
     out: DataFrame | None = None
+    spark = None
     for t in group.tables:
         if t.suppressOutput:
             continue
+        spark = dfs[t.url].sparkSession
         part = table_to_triples(dfs[t.url], t, minimal=minimal)
         out = part if out is None else out.unionByName(part)
     if out is None:
         raise ValueError("no unsuppressed tables")
+    if not minimal and getattr(group, "external", ()):
+        from .external_props import external_triples
+        ext = external_triples(group.external, "_:skgroup",
+                               base=group.base, default_lang=default_lang)
+        if ext:
+            out = out.unionByName(spark.createDataFrame(
+                ext, "subj string, pred string, obj_lex string, obj_kind string, "
+                     "obj_dtype string, obj_lang string, graph string"))
     return out
 
 

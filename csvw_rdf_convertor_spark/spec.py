@@ -251,6 +251,11 @@ class TableSpec:
 class TableGroupSpec:
     tables: tuple[TableSpec, ...]
     base: str = ""
+    #: non-CSVW namespaced annotations at TableGroup scope, re-emitted on
+    #: the group node in standard mode (T8; reference descriptor.ts:334-390,
+    #: convertor.ts:177-211 emitExternalProps(descriptor, groupNode))
+    external: tuple[tuple[str, Any], ...] = ()
+    notes: Any = None
 
 
 # --- descriptor parsing ----------------------------------------------------
@@ -412,7 +417,11 @@ def parse_descriptor(raw: dict, base: str = "") -> TableGroupSpec:
             if dialect and "dialect" not in t:
                 t = {**t, "dialect": dialect}
             tables.append(parse_table(t, inherited, base, ctx_lang))
-        return TableGroupSpec(tables=tuple(tables), base=base)
+        group_external = tuple(
+            (k, v) for k, v in raw.items()
+            if ":" in k and not k.startswith("@") and k not in INHERITED_PROPS)
+        return TableGroupSpec(tables=tuple(tables), base=base,
+                              external=group_external, notes=raw.get("notes"))
     return TableGroupSpec(tables=(parse_table(raw, {}, base, ctx_lang),), base=base)
 
 

@@ -68,3 +68,55 @@ def test_standard_mode_unions_external(spark):
     # minimal mode omits them (conversion-options.ts:39)
     minimal = table_to_triples(df, table, minimal=True)
     assert minimal.where(F.col("pred") == DC + "title").count() == 0
+
+
+def test_group_level_external_props(spark):
+    """T8 at TableGroup scope (convertor.ts:177-211): namespaced group
+    annotations re-emit on the group node in standard mode."""
+    from csvw_rdf_convertor_spark.plans.csvw2rdf import group_to_triples
+    group = parse_descriptor({
+        "dc:title": "My Group",
+        "dcat:keyword": ["a", "b"],
+        "tables": [{
+            "url": "t.csv",
+            "order_by": "GID",
+            "tableSchema": {"aboutUrl": "#g-{GID}",
+                            "columns": [{"name": "GID"}]},
+        }],
+    })
+    assert dict(group.external)["dc:title"] == "My Group"
+    df = spark.createDataFrame([("1",), ("2",)], "GID string")
+    out = group_to_triples({"t.csv": df}, group, minimal=False)
+    rows = [r for r in out.collect() if r.subj == "_:skgroup"]
+    preds = {r.pred for r in rows}
+    assert DC + "title" in preds and DCAT + "keyword" in preds
+    title = [r for r in rows if r.pred == DC + "title"][0]
+    assert title.obj_lex == "My Group" and title.obj_kind == "literal"
+    # minimal mode suppresses them (reference: !options.minimal guard)
+    none = group_to_triples({"t.csv": df}, group, minimal=True)
+    assert none.where(F.col("subj") == "_:skgroup").count() == 0
+
+
+def test_row_titles_emit_csvw_title(spark):
+    """T7 rowTitles → csvw:title with column language (convertor.ts:650-667);
+    empty values are skipped (the reference's truthy check)."""
+    desc = {
+        "url": "urn:t",
+        "tableSchema": {
+            "aboutUrl": "#r-{id}",
+            "rowTitles": ["name"],
+            "columns": [{"name": "id"},
+                        {"name": "name", "lang": "en", "null": [""]}],
+        },
+    }
+    table = with_order(parse_descriptor(desc).tables[0], "id")
+    df = spark.createDataFrame([("1", "Alpha"), ("2", "")], "id string, name string")
+    out = table_to_triples(df, table, minimal=False)
+    titles = out.where(F.col("pred") == "http://www.w3.org/ns/csvw#title").collect()
+    assert len(titles) == 1
+    assert titles[0].obj_lex == "Alpha" and titles[0].obj_lang == "en"
+    # unknown rowTitles entry is skipped silently (no rowRecord binding)
+    desc["tableSchema"]["rowTitles"] = ["nosuch"]
+    table2 = with_order(parse_descriptor(desc).tables[0], "id")
+    out2 = table_to_triples(df, table2, minimal=False)
+    assert out2.where(F.col("pred") == "http://www.w3.org/ns/csvw#title").count() == 0

@@ -138,3 +138,21 @@ def test_run_and_resume_exactly_once(spark, transcripts, tmp_path):
         .parquet(f"{out}/manifest")
     m3 = pipeline.run(transcripts, out, n_buckets=4)
     assert m3.buckets_done == 1 and m3.buckets_skipped == 3
+
+
+def test_nt_sink_is_exactly_once_on_rerun(spark, tmp_path):
+    """The optional N-Triples sink must follow the same dynamic-partition-
+    overwrite contract as the parquet sink: re-running a bucket replaces its
+    NT lines instead of appending duplicates."""
+    from csvw_rdf_convertor_spark.kg import pipeline
+    from csvw_rdf_convertor_spark.kg.synth import synth_transcripts
+    out = str(tmp_path / "kg")
+    tr = synth_transcripts(spark, n_convs=10, max_len=10)
+    pipeline.run(tr, out, n_buckets=2, write_nt=True)
+    first = sorted(r.value for r in spark.read.text(f"{out}/ntriples").collect())
+    # force a rerun of everything (fresh manifest → all buckets redone)
+    import shutil
+    shutil.rmtree(f"{out}/manifest")
+    pipeline.run(tr, out, n_buckets=2, write_nt=True)
+    second = sorted(r.value for r in spark.read.text(f"{out}/ntriples").collect())
+    assert first == second  # no duplicated lines, byte-identical sink

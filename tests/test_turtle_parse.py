@@ -1,0 +1,151 @@
+"""Turtle/TriG-subset parser (S4; reference loaders/parse.ts routes .ttl
+through N3's Turtle parser). Fixture mirrors the public W3C CSVW tree-ops
+example (reference test/rdf2csvwtests/011/input.ttl shape)."""
+
+from __future__ import annotations
+
+import pytest
+
+from csvw_rdf_convertor_spark.sources.turtle_parse import parse_turtle, read_turtle
+from csvw_rdf_convertor_spark.spec import RDF, XSD
+
+TREE_OPS_TTL = """\
+@prefix : <tree-ops.csv#> .
+@prefix csvw: <http://www.w3.org/ns/csvw#> .
+@prefix dc: <http://purl.org/dc/terms/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+:gid-1 :GID "1";
+   :inventory_date "2010-10-18"^^xsd:date;
+   :on_street "ADDISON AV";
+   :trim_cycle "Large Tree Routine Prune" .
+
+:gid-2 :GID "2";
+   :inventory_date "2010-06-02"^^xsd:date;
+   :on_street "EMERSON ST";
+   :trim_cycle "Large Tree Routine Prune" .
+
+ [
+    a csvw:TableGroup;
+    csvw:table [
+      a csvw:Table;
+      dc:title "Tree Operations"@en;
+      csvw:row [
+        a csvw:Row;
+        csvw:describes :gid-1;
+        csvw:rownum 1;
+        csvw:url <tree-ops.csv#row=2>
+      ], [
+        a csvw:Row;
+        csvw:describes :gid-2;
+        csvw:rownum 2;
+        csvw:url <tree-ops.csv#row=3>
+      ];
+      csvw:url <tree-ops.csv>
+    ]
+ ] .
+"""
+
+CSVW = "http://www.w3.org/ns/csvw#"
+
+
+def test_parse_tree_ops_shape():
+    triples = parse_turtle(TREE_OPS_TTL, base="http://ex.org/")
+    spo = {(s, p): (o, k, d, lg) for s, p, o, k, d, lg, _ in triples}
+    gid1 = "http://ex.org/tree-ops.csv#gid-1"
+    assert spo[(gid1, "http://ex.org/tree-ops.csv#GID")][0] == "1"
+    o, k, d, lg = spo[(gid1, "http://ex.org/tree-ops.csv#inventory_date")]
+    assert (o, d) == ("2010-10-18", XSD + "date")
+    # language-tagged title inside a nested bnode property list
+    titles = [(o, lg) for s, p, o, k, d, lg, _ in triples
+              if p == "http://purl.org/dc/terms/title"]
+    assert titles == [("Tree Operations", "en")]
+    # rownum is a bare integer literal
+    rownums = sorted(o for s, p, o, k, d, lg, _ in triples
+                     if p == CSVW + "rownum")
+    assert rownums == ["1", "2"]
+    assert all(d == XSD + "integer" for s, p, o, k, d, lg, _ in triples
+               if p == CSVW + "rownum")
+    # anonymous nodes are deterministic: reparse gives identical ids
+    assert triples == parse_turtle(TREE_OPS_TTL, base="http://ex.org/")
+
+
+def test_parse_collections_and_literals():
+    ttl = """@prefix ex: <http://ex.org/> .
+    ex:s ex:list (1 2.5 "x"@en true) ; ex:empty () .
+    ex:s ex:long \"\"\"line1
+line2\"\"\" .
+    ex:s ex:esc "tab\\there \\"q\\"" .
+    """
+    triples = parse_turtle(ttl)
+    firsts = [(o, d, lg) for s, p, o, k, d, lg, _ in triples if p == RDF + "first"]
+    assert ("1", XSD + "integer", "") in firsts
+    assert ("2.5", XSD + "decimal", "") in firsts
+    assert ("x", "", "en") in firsts
+    assert ("true", XSD + "boolean", "") in firsts
+    rests = [o for s, p, o, k, d, lg, _ in triples if p == RDF + "rest"]
+    assert rests.count(RDF + "nil") == 1
+    empty = [o for s, p, o, k, d, lg, _ in triples if p == "http://ex.org/empty"]
+    assert empty == [RDF + "nil"]
+    longs = [o for s, p, o, k, d, lg, _ in triples if p == "http://ex.org/long"]
+    assert longs == ["line1\nline2"]
+    escs = [o for s, p, o, k, d, lg, _ in triples if p == "http://ex.org/esc"]
+    assert escs == ['tab\there "q"']
+
+
+def test_parse_trig_graph_block():
+    ttl = """@prefix ex: <http://ex.org/> .
+    ex:s1 ex:p "default" .
+    GRAPH ex:g1 { ex:s2 ex:p "in-g1" . }
+    """
+    triples = parse_turtle(ttl)
+    by_graph = {g: o for s, p, o, k, d, lg, g in triples}
+    assert by_graph[""] == "default"
+    assert by_graph["http://ex.org/g1"] == "in-g1"
+
+
+def test_sparql_style_directives_and_base():
+    ttl = """PREFIX ex: <http://ex.org/>
+    BASE <http://base.org/dir/>
+    ex:s ex:p <rel> .
+    """
+    triples = parse_turtle(ttl)
+    assert triples[0][2] == "http://base.org/dir/rel"
+
+
+def test_undefined_prefix_raises():
+    with pytest.raises(ValueError, match="undefined prefix"):
+        parse_turtle("nope:s nope:p nope:o .")
+
+
+def test_reversed_fixture_ttl_to_table(spark, tmp_path):
+    """input.ttl → reconstructed tree-ops rows (the reversed-official-style
+    flow the rdf2csvw direction consumes)."""
+    from csvw_rdf_convertor_spark.plans import rdf2csvw
+
+    path = tmp_path / "input.ttl"
+    path.write_text(TREE_OPS_TTL)
+    triples = read_turtle(spark, str(path), base="http://ex.org/")
+    u = "http://ex.org/tree-ops.csv#"
+    data = triples.where(~triples.subj.startswith("_:"))
+    pats = [rdf2csvw.TriplePattern("GID", u + "GID", required=True),
+            rdf2csvw.TriplePattern("on_street", u + "on_street"),
+            rdf2csvw.TriplePattern("inventory_date", u + "inventory_date")]
+    rows = {r.GID: r for r in rdf2csvw.match_patterns(data, pats).collect()}
+    assert rows["1"].on_street == "ADDISON AV"
+    assert rows["2"].inventory_date == "2010-06-02"
+
+
+def test_reference_ttl_corpus_parses():
+    """Every .ttl fixture in the reference's own test corpus must tokenize
+    and parse (coverage evidence for the grammar subset)."""
+    import glob
+    import os
+    files = sorted(glob.glob(
+        "/root/reference/packages/core/test/**/*.ttl", recursive=True))
+    if not files:
+        pytest.skip("reference corpus not available")
+    for f in files:
+        with open(f, encoding="utf-8") as fh:
+            triples = parse_turtle(fh.read(), base="http://ex.org/")
+        assert triples, f"no triples from {os.path.basename(f)}"
