@@ -21,6 +21,7 @@ from __future__ import annotations
 import re
 from collections.abc import Mapping
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -126,6 +127,60 @@ def compile_template(template: str, row_record: Mapping[str, Column],
 
 def _dir_of(base: str) -> str:
     return base.rsplit("/", 1)[0] + "/" if "/" in base else base
+
+
+# --- templateIris (IDN + decodeURI) post-pass --------------------------------
+
+#: escapes JS ``decodeURI`` leaves intact (reserved set: # $ & + , / : ; = ? @)
+_DECODE_URI_KEEP = re.compile(
+    r"%(?:23|24|26|2[bB]|2[cC]|2[fF]|3[aA]|3[bB]|3[dD]|3[fF]|40)")
+_HOST_RE = re.compile(r"^([A-Za-z][\w+.-]*://)([^/?#]*)(.*)$", re.S)
+
+
+def js_decode_uri(s: str) -> str:
+    """JS ``decodeURI`` twin: decode every %XX except the reserved set.
+    Malformed escapes pass through (JS throws URIError; a data engine keeps
+    the row and leaves the IRI as-is)."""
+    import urllib.parse
+    protected = _DECODE_URI_KEEP.sub(lambda m: "\x00" + m.group(0)[1:] + "\x00", s)
+    decoded = urllib.parse.unquote(protected, errors="strict")
+    return re.sub("\x00(..)\x00", r"%\1", decoded)
+
+
+def idn_to_unicode(host: str) -> str:
+    """Punycode host labels → Unicode (stdlib IDNA codec; the reference uses
+    UTS46 toUnicode — identical for the xn-- labels CSVW inputs carry)."""
+    try:
+        return ".".join(
+            label.encode("ascii").decode("idna") if label.startswith("xn--")
+            else label
+            for label in host.split("."))
+    except (UnicodeError, UnicodeDecodeError):
+        return host
+
+
+def template_iris_value(uri: str) -> str:
+    """The reference's default templateIris=true transform
+    (convertor.ts:1235-1243): IDN-decode the hostname, then decodeURI the
+    whole IRI. This engine keeps RFC-encoded IRIs by DEFAULT (encoded forms
+    are join-stable and round-trip through NT); call
+    plans.csvw2rdf.apply_template_iris for reference-default output."""
+    m = _HOST_RE.match(uri)
+    if m:
+        scheme, host, rest = m.groups()
+        uri = scheme + idn_to_unicode(host) + rest
+    return js_decode_uri(uri)
+
+
+def template_iris_udf():
+    """Arrow-batched pandas UDF applying :func:`template_iris_value`."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else template_iris_value(v))
+
+    return _udf
 
 
 def inverse_template_regex(template: str) -> str:

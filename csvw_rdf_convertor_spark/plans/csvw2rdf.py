@@ -352,6 +352,25 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
     return out
 
 
+def apply_template_iris(triples: DataFrame) -> DataFrame:
+    """The reference's default ``templateIris: true`` post-pass
+    (convertor.ts:1235-1243): IDN-decode hostnames + JS-decodeURI every IRI
+    term (subjects, predicates, IRI objects; skolem bnodes untouched).
+
+    Opt-in here (the engine default keeps RFC-encoded IRIs — encoded forms
+    are join-stable and round-trip through NT serialization); Arrow-batched
+    pandas UDF, one narrow projection."""
+    from ..functions.uritemplate import template_iris_udf
+    dec = template_iris_udf()
+    return (triples
+            .withColumn("subj", F.when(F.col("subj").startswith("_:"),
+                                       F.col("subj")).otherwise(dec("subj")))
+            .withColumn("pred", dec("pred"))
+            .withColumn("obj_lex", F.when(F.col("obj_kind") == "iri",
+                                          dec("obj_lex"))
+                        .otherwise(F.col("obj_lex"))))
+
+
 def group_to_triples(dfs: dict[str, DataFrame], group, *, minimal: bool = True,
                      default_lang: str = "") -> DataFrame:
     """Convert every (non-suppressed) table of a TableGroupSpec and union.

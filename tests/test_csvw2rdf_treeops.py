@@ -101,3 +101,23 @@ def test_required_issue_emitted(spark):
     from csvw_rdf_convertor_spark.plans.csvw2rdf import issues
     iss = issues(df, _table(order_by="on_street")).collect()
     assert len(iss) == 1 and iss[0].column == "GID"
+
+
+def test_apply_template_iris_postpass(spark):
+    """templateIris=true behavior (convertor.ts:1235-1243) as an opt-in
+    post-pass: IDN host decode + decodeURI on IRI terms only."""
+    from pyspark.sql import functions as F
+
+    from csvw_rdf_convertor_spark.plans.csvw2rdf import apply_template_iris
+    rows = [("http://xn--mnchen-3ya.example/x%20y", "http://p/q%20r",
+             "lit%20eral", "literal", "", "", ""),
+            ("_:skabc", "http://p/t", "http://o/a%20b", "iri", "", "", "")]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj_lex string, obj_kind string, "
+              "obj_dtype string, obj_lang string, graph string")
+    out = {r.subj: r for r in apply_template_iris(df).collect()}
+    assert "http://münchen.example/x y" in out
+    assert out["http://münchen.example/x y"].pred == "http://p/q r"
+    # literals untouched, bnodes untouched, IRI objects decoded
+    assert out["http://münchen.example/x y"].obj_lex == "lit%20eral"
+    assert out["_:skabc"].obj_lex == "http://o/a b"

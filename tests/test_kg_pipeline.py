@@ -156,3 +156,19 @@ def test_nt_sink_is_exactly_once_on_rerun(spark, tmp_path):
     pipeline.run(tr, out, n_buckets=2, write_nt=True)
     second = sorted(r.value for r in spark.read.text(f"{out}/ntriples").collect())
     assert first == second  # no duplicated lines, byte-identical sink
+
+
+def test_cc_fast_path_equals_distributed(spark):
+    """Driver union-find (small-graph fast path) must produce exactly the
+    distributed min-label fixpoint's labels."""
+    import random
+    rng = random.Random(7)
+    edges_py = [(f"n{rng.randrange(60)}", f"n{rng.randrange(60)}")
+                for _ in range(120)]
+    edges = spark.createDataFrame(edges_py, "src string, dst string")
+    fast = {(r.node, r.comp)
+            for r in cc.connected_components(edges).collect()}
+    slow = {(r.node, r.comp)
+            for r in cc.connected_components(
+                edges, small_graph_edges=0).collect()}
+    assert fast == slow and len(fast) > 0
