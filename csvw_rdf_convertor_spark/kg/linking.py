@@ -48,10 +48,13 @@ def link_exact(mentions: DataFrame) -> DataFrame:
     support = partial.groupBy("conv_id", "entity_id").agg(F.sum("c").alias("conv_support"))
 
     scored = cand.join(support, ["conv_id", "entity_id"])
+    # rank and per-mention total share ONE window ordering → a single
+    # exchange + sort instead of two (the unordered sum window used to add
+    # its own sort over the same partition keys)
     w = Window.partitionBy("conv_id", "turn_idx", "match_i").orderBy(
         F.desc("conv_support"), F.asc("entity_id"))
     total = F.sum("conv_support").over(
-        Window.partitionBy("conv_id", "turn_idx", "match_i"))
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
     return (scored
             .withColumn("link_score", F.col("conv_support").cast("double") / total)
             .withColumn("rk", F.row_number().over(w))

@@ -72,11 +72,14 @@ def transcripts_table_spec():
     return parse_descriptor(TRANSCRIPTS_DESCRIPTOR).tables[0]
 
 
-def turn_triples(transcripts: DataFrame) -> DataFrame:
+def turn_triples(transcripts: DataFrame,
+                 passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Per-turn triples via the csvw2rdf engine. The cell pipeline consumes
     string lexicals: ts is pre-rendered ISO-8601 UTC (deterministic — the
-    session TZ is pinned to UTC)."""
+    session TZ is pinned to UTC). ``passthrough`` columns (e.g. the
+    partition bucket) ride through the mapping unchanged."""
     df = transcripts.select(
+        *passthrough,
         F.col("conv_id"),
         F.col("turn_idx").cast("string").alias("turn_idx"),
         F.col("role"),
@@ -85,7 +88,8 @@ def turn_triples(transcripts: DataFrame) -> DataFrame:
         F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")).alias("ts"),
     )
     # turn_idx is data-provided ordering — the mapping adds no shuffle
-    return table_to_triples(df, transcripts_table_spec(), minimal=True)
+    return table_to_triples(df, transcripts_table_spec(), minimal=True,
+                            passthrough=passthrough)
 
 
 def _mention_triple_array(mention_col, entity_col, score_col, turn_iri, m_node):
@@ -165,16 +169,19 @@ def run(transcripts: DataFrame, out_dir: str, *,
         except Exception:
             done = set()
 
+    # Repartition the SMALL transcript rows by bucket BEFORE the mapping
+    # fans them out into ~10× more triple rows: the narrow mapping preserves
+    # partitioning, so the write needs no triples-wide shuffle at all — the
+    # engine's single biggest memory-bandwidth term at high core counts
+    # (round-2 scaling fix). One file per bucket per side still holds
+    # (each task owns exactly one bucket).
     todo = transcripts.withColumn("bucket", bucket)
     if done:
         todo = todo.where(~F.col("bucket").isin(*done))
-    todo = todo.cache()
+    todo = todo.repartition(n_buckets, "bucket").cache()
 
     # -- stage 1: CSVW-style mapping (narrow) + mention detection (narrow) ---
-    turns = turn_triples(todo).withColumn(
-        "bucket",
-        F.pmod(F.xxhash64(F.regexp_extract("subj", r"^urn:conv:([^#]+)", 1)),
-               F.lit(n_buckets)).cast("int"))
+    turns = turn_triples(todo, passthrough=("bucket",))
     # persist: detection (pandas) and linking feed both the triple write and
     # the metrics aggregation — without this each action re-runs them
     ments = mentions_mod.detect_mentions(todo, dictionary).persist()
@@ -185,12 +192,12 @@ def run(transcripts: DataFrame, out_dir: str, *,
     canon = cc.canonical_mapping(labels.where(~F.col("node").startswith("sf:")))
     m_triples = mention_triples(linked, canon, passthrough=["bucket"])
 
-    # repartition by bucket before the partitioned write: one file per
-    # bucket instead of (input partitions × buckets) tiny files — the commit
-    # protocol and downstream scans are the dominant fixed cost otherwise.
+    # mention triples are orders of magnitude fewer than turn triples —
+    # repartitioning ONLY them keeps the bucket-partitioned write while
+    # shuffling mention-scale bytes instead of corpus-scale triples
     all_triples = (turns.select("bucket", *TRIPLE_COLS)
-                   .unionByName(m_triples.select("bucket", *TRIPLE_COLS))
-                   .repartition(n_buckets, "bucket"))
+                   .unionByName(m_triples.select("bucket", *TRIPLE_COLS)
+                                .repartition(n_buckets, "bucket")))
     # dynamic partition overwrite = idempotent per-bucket commit (the parquet
     # stand-in for an Iceberg partition-overwrite snapshot): a re-run of a
     # bucket replaces its files instead of appending duplicates

@@ -188,7 +188,8 @@ def _column_triples(col: ColumnSpec, values: Column, table: TableSpec,
 def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
                      partition_by: str | None = None,
                      default_lang: str = "",
-                     allow_arrival_order: bool = False) -> DataFrame:
+                     allow_arrival_order: bool = False,
+                     passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Compile and run the full table conversion; returns the triples DF.
 
     Plan shape (performance-critical): the cell pipeline, the row-record
@@ -270,8 +271,12 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
     ]
 
     if minimal:
+        # passthrough columns (e.g. a pre-computed partition bucket) ride
+        # through the explode so callers keep their partitioning without
+        # re-deriving keys from 10× more triple rows
         arrays = F.flatten(F.array(*per_col)) if per_col else F.array().cast(_EMPTY_TRIPLES)
-        out = df.select(F.explode(arrays).alias("t")).select("t.*")
+        out = (df.select(*passthrough, F.explode(arrays).alias("t"))
+               .select(*passthrough, "t.*"))
         return out
 
     # standard mode (T7): row scaffolding emitted from the same single pass

