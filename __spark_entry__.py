@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from csvw_rdf_convertor_spark.kg import linking, pipeline
 from csvw_rdf_convertor_spark.kg import mentions as mentions_mod
 from csvw_rdf_convertor_spark.kg.synth import alias_dictionary
-from csvw_rdf_convertor_spark.ops import dedup, similarity, text as text_ops
+from csvw_rdf_convertor_spark.ops import asof, dedup, similarity, text as text_ops
 from csvw_rdf_convertor_spark.plans.csvw2rdf import table_to_triples
 from csvw_rdf_convertor_spark.plans import rdf2csvw
 from csvw_rdf_convertor_spark.spec import (DatatypeSpec, parse_descriptor,
@@ -879,6 +879,106 @@ FROM ranked WHERE rank <= {k}
 SQL_SIM_LSH_TOPK = _sql_lsh_topk()
 
 
+def _dd_cos(a: str, b: str, dim: int) -> str:
+    """DuckDB cosine between two FLOAT[] expressions — the same sequential
+    left fold (list_reduce with a 0.0 prepend) the Spark `similarity.cosine`
+    expression uses, so both engines produce bit-identical doubles."""
+    def _dot(x: str, y: str) -> str:
+        return (f"list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+                f"range(1, {dim + 1}), i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE)),"
+                f" (a, b) -> a + b)")
+    return f"({_dot(a, b)} / NULLIF(sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}), 0))"
+
+
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: deterministic md5-sampled centroids, argmax-
+    cosine cell assignment, probe the 4 nearest cells, exact rescore."""
+    emb = _p(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+def _sql_ivf_topk(k: int = 5, n_cells: int = 16, n_probe: int = 4,
+                  dim: int = 64) -> str:
+    return f"""
+WITH cents AS MATERIALIZED (
+  SELECT vec_id AS cent_id, embedding AS cent_vec
+  FROM embeddings
+  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+  LIMIT {n_cells}),
+assigned AS (
+  SELECT vec_id, vec, cell FROM (
+    SELECT e.vec_id, e.embedding AS vec, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_dd_cos('e.embedding', 'c.cent_vec', dim)} DESC,
+                        c.cent_id ASC) AS rk
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rk = 1),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, q_vec, cell FROM (
+    SELECT q.query_id, q.q_vec, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_dd_cos('q.q_vec', 'c.cent_vec', dim)} DESC,
+                        c.cent_id ASC) AS pr
+    FROM q CROSS JOIN cents c)
+  WHERE pr <= {n_probe}),
+scored AS (
+  SELECT p.query_id, a.vec_id, {_dd_cos('a.vec', 'p.q_vec', dim)} AS cos
+  FROM assigned a JOIN probes p ON a.cell = p.cell),
+ranked AS (SELECT query_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_SIM_IVF_TOPK = _sql_ivf_topk()
+
+
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (ops/asof.py): each purchase event picks up the most
+    recent click at-or-before it by the same user — the union+running-last
+    composition (one equi-key shuffle, no range explosion). Oracle: DuckDB's
+    native ASOF LEFT JOIN."""
+    ev = _p(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("event_id", "user_id", "ts", "value")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = asof.asof_join(purchases, clicks, on="user_id",
+                         left_time="ts", right_time="ts",
+                         right_cols=["event_id", "value"], prefix="click_")
+    # no-match columns are coalesced to -1 sentinels (plus an explicit flag):
+    # nullable BIGINTs otherwise decay to float64 in the pandas comparison
+    # layer and lose digits at 9 significant figures
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "event_id", "user_id", us("ts").alias("ts_us"),
+        F.col("click_event_id").isNotNull().cast("int").alias("has_click"),
+        F.coalesce(F.col("click_event_id"), F.lit(-1)).alias("click_event_id"),
+        F.coalesce(us("click_ts"), F.lit(-1)).alias("click_ts_us"),
+        F.round(F.coalesce(F.col("click_value"), F.lit(-1.0)), 4)
+         .alias("click_value"))
+
+
+SQL_EVENTS_ASOF = """
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       CAST(r.event_id IS NOT NULL AS INT) AS has_click,
+       COALESCE(r.event_id, -1) AS click_event_id,
+       COALESCE(epoch_us(r.ts), -1) AS click_ts_us,
+       ROUND(COALESCE(r.value, -1.0), 4) AS click_value
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_emb_near_dup_blocked(spark, sf_dir):
     """Embedding-cosine near-dup pairs blocked by label."""
     emb = _p(spark, sf_dir, "embeddings")
@@ -1325,6 +1425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "events_asof_join": q_events_asof_join,
         "emb_near_dup_blocked": q_emb_near_dup_blocked,
         "kg_mention_stats": q_kg_mention_stats,
         "cc_components": q_cc_components,
@@ -1372,6 +1474,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "sim_topk_bruteforce": SQL_SIM_TOPK,
         "sim_lsh_topk": SQL_SIM_LSH_TOPK,
+        "sim_ivf_topk": SQL_SIM_IVF_TOPK,
+        "events_asof_join": SQL_EVENTS_ASOF,
         "emb_near_dup_blocked": SQL_EMB_NEAR_DUP,
         "kg_mention_stats": SQL_MENTION_STATS,
         "cc_components": SQL_CC_COMPONENTS,

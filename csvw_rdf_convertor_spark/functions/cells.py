@@ -143,20 +143,15 @@ def _number_format_opts(fmt) -> tuple[str, str, str | None]:
     return (".", "", None)
 
 
-def parse_number(value: Column, dt: DatatypeSpec) -> Column:
-    """Canonical lexical form of a numeric cell, or ``@@invalid@@``+raw.
+def numeric_parts(value: Column, dt: DatatypeSpec) -> dict[str, Column]:
+    """Pre-parse intermediates of the numeric pipeline: the %-stripped
+    ``core`` string plus the ``pct``/``pml``/``grp_ok`` flags.
 
-    Covers regex validation per XSD type, group/decimal-char substitution,
-    %/‰ division, INF/NaN passthrough, integer range extents, min/max
-    constraints, and ``-0`` preservation — all as Column expressions.
-    The LDML ``pattern`` path goes through :func:`ldml_parse_udf` instead.
-    """
-    base = dt.base
-    dec_char, grp_char, pattern = _number_format_opts(dt.format)
-    if pattern is not None:
-        from .ldml import ldml_number_udf  # pandas-UDF fallback (rare path)
-        return ldml_number_udf(pattern, base)(value)
-
+    Exposed separately so plan builders can materialize them as real columns
+    — the parse proper references ``core`` ~6 times and the flags several
+    times each; inlined, the duplicated subtrees blow the generated
+    per-method bytecode past janino's 64 KB limit (interpreted fallback)."""
+    dec_char, grp_char, _pattern = _number_format_opts(dt.format)
     v = value
     grp_ok = F.lit(True)
     if grp_char:
@@ -174,12 +169,36 @@ def parse_number(value: Column, dt: DatatypeSpec) -> Column:
     pml_t = ~pct_t & v.endswith("‰")
     pct_l = ~pct_t & ~pml_t & v.startswith("%")
     pml_l = ~pct_t & ~pml_t & ~pct_l & v.startswith("‰")
-    pct = pct_t | pct_l
-    pml = pml_t | pml_l
     core = (F.when(pct_t | pml_t, v.substr(F.lit(1), F.length(v) - 1))
             .when(pct_l | pml_l, v.substr(F.lit(2), F.length(v) - 1))
             .otherwise(v))
+    return {"core": core, "pct": pct_t | pct_l, "pml": pml_t | pml_l,
+            "grp_ok": grp_ok}
 
+
+def parse_number(value: Column, dt: DatatypeSpec) -> Column:
+    """Canonical lexical form of a numeric cell, or ``@@invalid@@``+raw.
+
+    Covers regex validation per XSD type, group/decimal-char substitution,
+    %/‰ division, INF/NaN passthrough, integer range extents, min/max
+    constraints, and ``-0`` preservation — all as Column expressions.
+    The LDML ``pattern`` path goes through :func:`ldml_parse_udf` instead.
+    """
+    dec_char, grp_char, pattern = _number_format_opts(dt.format)
+    if pattern is not None:
+        from .ldml import ldml_number_udf  # pandas-UDF fallback (rare path)
+        return ldml_number_udf(pattern, dt.base)(value)
+    p = numeric_parts(value, dt)
+    return parse_number_from_parts(value, p["core"], p["pct"], p["pml"],
+                                   p["grp_ok"], dt)
+
+
+def parse_number_from_parts(value: Column, core: Column, pct: Column,
+                            pml: Column, grp_ok: Column,
+                            dt: DatatypeSpec) -> Column:
+    """The numeric parse proper, over (ideally attribute) intermediates —
+    see :func:`numeric_parts`."""
+    base = dt.base
     if base in ("double", "float", "number"):
         ok = core.rlike(f"^{DOUBLE_RE}$")
         num = (
@@ -452,18 +471,39 @@ def parse_datatype(value: Column, dt: DatatypeSpec) -> Column:
 
 # --- full cell pipeline ------------------------------------------------------
 
-def cell_values(raw: Column, col: ColumnSpec) -> Column:
-    """Compile the whole cell pipeline for one column.
+def cell_norm(raw: Column, col: ColumnSpec) -> Column:
+    """P1+P2 (whitespace normalize + default substitution) — the ``v`` the
+    rest of the pipeline consumes.
 
-    Returns ``array<string>`` of canonical lexical values; NULL when the cell
-    is null (→ no triple, P3); multi-element for separator cells (P4).
-    """
+    Split out so plan builders can materialize it as a real column: the
+    datatype parsers reference ``v`` many times, and inlining this subtree
+    at every reference multiplies the expression until janino's 64 KB
+    per-method bytecode limit kills whole-stage codegen (measured: the
+    7-column lineitem mapping fell back to interpreted, ~11× slower)."""
     base = col.datatype.base
     v = normalize_ws(raw.cast("string"), base)                         # P1
     if col.default:
         v = F.when((v == "") | v.isNull(), F.lit(col.default)).otherwise(v)  # P2
     else:
         v = F.coalesce(v, F.lit(""))
+    return v
+
+
+def cell_values(raw: Column, col: ColumnSpec) -> Column:
+    """Compile the whole cell pipeline for one column (single-expression
+    form; plan builders that control projections should stage
+    :func:`cell_norm` first and call :func:`cell_values_from_norm`).
+
+    Returns ``array<string>`` of canonical lexical values; NULL when the cell
+    is null (→ no triple, P3); multi-element for separator cells (P4).
+    """
+    return cell_values_from_norm(cell_norm(raw, col), col)
+
+
+def cell_values_from_norm(v: Column, col: ColumnSpec) -> Column:
+    """P3–P10 over an already-normalized cell string (ideally an attribute —
+    see :func:`cell_norm`)."""
+    base = col.datatype.base
     null_check = v.isin(*col.null) if col.null else F.lit(False)       # P3
 
     if col.separator is not None:                                       # P4

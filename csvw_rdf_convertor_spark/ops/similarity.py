@@ -112,11 +112,21 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
 def ivf_assign(emb: DataFrame, n_cells: int = 16, *, vec_col: str = "embedding",
                id_col: str = "vec_id") -> tuple[DataFrame, DataFrame]:
     """IVF coarse index: centroids = the n_cells vectors with smallest
-    xxhash64(id) (a deterministic pseudo-random sample), assignment = argmax
-    cosine. Returns (centroids, assigned)."""
+    portable hash of their id (a deterministic pseudo-random sample — md5-
+    derived so the DuckDB oracle reproduces the exact same sample),
+    assignment = argmax cosine against the broadcast centroids (one narrow
+    pass; ties broken by centroid id). Returns (centroids, assigned).
+
+    Scale: centroids are a LIMIT n_cells — driver/broadcast-sized by
+    construction; the corpus side never shuffles (the top-1 window is keyed
+    by vec_id, which the crossJoin preserves per-partition… Spark still
+    plans a shuffle for the window, but AQE coalesces it; for true 100 TB
+    use, replace the window with a fold over the n_cells literal scores —
+    n_cells is a plan constant)."""
+    from ..functions.phash import phash60
     cents = (emb.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-             .withColumn("hk", F.xxhash64(F.col("cent_id")))
-             .orderBy("hk").limit(n_cells).drop("hk"))
+             .withColumn("hk", phash60(F.col("cent_id").cast("string")))
+             .orderBy("hk", "cent_id").limit(n_cells).drop("hk"))
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     scored = e.crossJoin(F.broadcast(cents)).withColumn(
         "cos", cosine(F.col("vec"), F.col("cent_vec")))
@@ -125,3 +135,33 @@ def ivf_assign(emb: DataFrame, n_cells: int = 16, *, vec_col: str = "embedding",
                 .where(F.col("rk") == 1)
                 .select("vec_id", "vec", F.col("cent_id").alias("cell")))
     return cents, assigned
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
+             n_cells: int = 16, n_probe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             q_vec_col: str = "embedding", q_id_col: str = "query_id"
+             ) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into ``n_cells``
+    cells (``ivf_assign``), rank cells per query by centroid cosine, probe
+    the nearest ``n_probe`` cells, exact-rescore candidates, per-query top-k.
+
+    Join structure at scale: centroids and (query × probe-cell) frames are
+    broadcast (both are query/cell-count-sized); the only corpus-wide work
+    is one narrow scoring pass plus the per-cell candidate join on the
+    broadcast probe list — no corpus shuffle keyed by anything skewed."""
+    cents, assigned = ivf_assign(emb, n_cells, vec_col=vec_col, id_col=id_col)
+    q = queries.select(F.col(q_id_col).alias("query_id"),
+                       F.col(q_vec_col).alias("q_vec"))
+    qcells = (q.crossJoin(F.broadcast(cents))
+              .withColumn("qcos", cosine(F.col("q_vec"), F.col("cent_vec"))))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cent_id"))
+    probes = (qcells.withColumn("pr", F.row_number().over(wq))
+              .where(F.col("pr") <= n_probe)
+              .select("query_id", "q_vec", F.col("cent_id").alias("cell")))
+    scored = (assigned.join(F.broadcast(probes), "cell")
+              .withColumn("cos", cosine(F.col("vec"), F.col("q_vec"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank"))

@@ -210,23 +210,35 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
     url = _resolve_url(table)
     df = _maybe_row_numbers(df, table, partition_by, minimal, allow_arrival_order)
 
-    # stage 1: P1–P10 per column → array<string> columns (evaluated once)
+    # stage 1: P1–P10 per column → array<string> columns (evaluated once),
+    # in TWO projections: 1a materializes the normalized cell string (P1+P2),
+    # 1b runs the datatype parse over that attribute. The parsers reference
+    # the normalized value many times; with 1a inlined the duplicated
+    # subtrees push the single generated doConsume method past janino's
+    # 64 KB bytecode limit and the whole mapping silently falls back to
+    # interpreted execution (~11× slower, measured on lineitem).
+    # CollapseProject keeps 1a/1b separate: the norm producers are non-cheap
+    # and multiply referenced.
     cell_col: dict[str, str] = {}
-    stage1 = []
+    stage1a, stage1b = [], []
     for i, col in enumerate(table.columns):
         cname = f"__cell_{i}"
         cell_col[col.name] = cname
         if col.virtual:
             # virtual column: no physical cell; templates drive everything,
             # the "value" is the (constant) default ('' unless given)
-            expr = F.array(F.lit(col.default))
-        else:
-            src = col.source or col.name
-            if src not in df.columns:
-                raise KeyError(f"source column {src!r} for {col.name!r} not in DataFrame")
-            expr = cells.cell_values(F.col(src), col)
-        stage1.append(expr.alias(cname))
-    df = df.select("*", *stage1)
+            stage1b.append(F.array(F.lit(col.default)).alias(cname))
+            continue
+        src = col.source or col.name
+        if src not in df.columns:
+            raise KeyError(f"source column {src!r} for {col.name!r} not in DataFrame")
+        nname = f"__norm_{i}"
+        stage1a.append(cells.cell_norm(F.col(src), col).alias(nname))
+        stage1b.append(
+            cells.cell_values_from_norm(F.col(nname), col).alias(cname))
+    if stage1a:
+        df = df.select("*", *stage1a)
+    df = df.select("*", *stage1b)
 
     # stage 2: row-record bindings (template variables) as columns
     rec_col: dict[str, str] = {}

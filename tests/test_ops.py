@@ -140,3 +140,27 @@ def test_multimodal_plumbing(spark):
     # frame sampling plan
     frames = multimodal.frame_sample_plan(media, every_ms=10000)
     assert frames.count() > 0
+
+
+def test_ivf_topk_matches_bruteforce_when_probing_all_cells(spark, emb):
+    """With n_probe == n_cells IVF degenerates to exact search — results
+    must equal brute force. With fewer probes it stays a subset per query."""
+    corpus = emb.limit(200).cache()
+    queries = (corpus.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = {(r.query_id, r.rank): r.vec_id
+             for r in similarity.brute_force_topk(corpus, queries, k=5).collect()}
+    full = {(r.query_id, r.rank): r.vec_id
+            for r in similarity.ivf_topk(corpus, queries, k=5,
+                                         n_cells=8, n_probe=8).collect()}
+    assert full == exact
+    approx = similarity.ivf_topk(corpus, queries, k=5, n_cells=8, n_probe=2)
+    got = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # approximate results are genuine corpus hits with sane ranks
+    assert got and all(q < 5 for q, _ in got)
+
+
+def test_ivf_assign_deterministic_centroids(spark, emb):
+    c1 = [r.cent_id for r in similarity.ivf_assign(emb.limit(100), 4)[0].collect()]
+    c2 = [r.cent_id for r in similarity.ivf_assign(emb.limit(100), 4)[0].collect()]
+    assert c1 == c2 and len(c1) == 4

@@ -10,6 +10,7 @@ Run this ALONE — concurrent work on the box contaminates the measurement.
 from __future__ import annotations
 
 import json
+import shutil
 import subprocess
 import sys
 import time
@@ -27,9 +28,16 @@ TITLES = {
 
 def run_one(cpus: int, sf_dir: str) -> dict:
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, str(REPO / "tools" / "scaling_worker.py"), str(cpus), sf_dir],
-        capture_output=True, text=True, cwd=REPO, timeout=7200)
+    # Pin the whole worker (JVM + python workers) to exactly `cpus` cores.
+    # Without this, local[2] borrows all 32 machine cores for GC threads,
+    # netty pools and python workers — inflating the low-parallelism
+    # baseline and understating true N→4N scaling. A real 2-core executor
+    # has 2 cores, period. availableProcessors() respects the affinity
+    # mask, so JVM thread-pool defaults scale with it too.
+    cmd = [sys.executable, str(REPO / "tools" / "scaling_worker.py"), str(cpus), sf_dir]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=7200)
     if proc.returncode != 0:
         print(proc.stdout[-2000:], proc.stderr[-4000:])
         raise SystemExit(f"worker {cpus} failed")
@@ -89,7 +97,12 @@ the measurement isolates the engine's scaling rather than the box's.
 - first run discarded (codegen + python-worker warm-up); mapping workloads
   report the median of 5 noop-sink runs; the KG pipeline reports the best of
   2 full runs (it writes its real partitioned parquet + manifest each time);
-- fresh JVM per parallelism level (subprocess), nothing else running.
+- fresh JVM per parallelism level (subprocess), nothing else running;
+- each worker is **taskset-pinned to exactly N cores**, so the low-
+  parallelism run cannot borrow the other 30 machine cores for JVM GC
+  threads / netty pools / python workers (a real N-core executor has N
+  cores — without pinning the N baseline is inflated and efficiency
+  understated).
 
 ## Results (triples/sec)
 
