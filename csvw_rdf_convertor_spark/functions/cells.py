@@ -187,7 +187,10 @@ def parse_number(value: Column, dt: DatatypeSpec) -> Column:
     dec_char, grp_char, pattern = _number_format_opts(dt.format)
     if pattern is not None:
         from .ldml import ldml_number_udf  # pandas-UDF fallback (rare path)
-        return ldml_number_udf(pattern, dt.base)(value)
+        # pattern path defaults groupChar ',' (validation/datatype.ts:24);
+        # the no-pattern path keeps '' = no grouping
+        return ldml_number_udf(pattern, dt.base, dec_char or ".",
+                               grp_char or ",")(value)
     p = numeric_parts(value, dt)
     return parse_number_from_parts(value, p["core"], p["pct"], p["pml"],
                                    p["grp_ok"], dt)

@@ -83,41 +83,231 @@ def js_number_str(num: float) -> str:
     return f"{mant}e{'+' if exp > 0 else ''}{exp}"
 
 
-def _parse_series(s: pd.Series, pattern: str, base: str) -> pd.Series:
-    rx, min_int, min_frac, _, _ = compile_ldml(pattern)
-    positive = pattern.split(";")[0]
-    scale = 100 if "%" in positive else 1000 if "‰" in positive else 1
+# --- faithful walker port of the reference pattern matcher -------------------
+# (parse-number.ts:178-399 SEMANTICS re-implemented: per-digit '0'/'#'/','
+# matching right-to-left with grouping expansion incl. secondary group
+# sizes, exponent clause via pattern/value split on 'e', optional '+'/'-'
+# sign slot in the pattern, %/‰ agreement between pattern and value.
+# One documented SUPERSET: literal prefix/suffix text in the pattern
+# ("$#,##0.00") is stripped before the walk — the reference walker has no
+# literal branch and rejects such patterns outright; UAX-35 allows them.)
 
+def _expand_int_groupings(pattern: str, to_size: int) -> str:
+    """:370-387 — replicate the last (or last-two, when a secondary size is
+    given) group pattern leftward until it covers ``to_size`` digits."""
+    tokens = pattern.split(",")
+    if len(tokens) == 1:
+        return pattern
+    correct_groups = 2 if len(tokens) > 2 else 1
+    correct = tokens[-correct_groups:]
+    group_size = max(len(correct[0]), 1)
+    first = "".join(tokens[:-correct_groups]).rjust(to_size, "#")
+    for i in range(0, len(first), group_size):
+        correct.insert(0, first[max(len(first) - i - group_size, 0):
+                                len(first) - i])
+    return ",".join(correct)
+
+
+def _expand_decimal_groupings(pattern: str, to_size: int) -> str:
+    """:388-399 — same expansion rightward for fraction groupings."""
+    first, *rest = pattern.split(",")
+    if not rest:
+        return pattern
+    correct = [first]
+    group_size = max(len(first), 1)
+    last = "".join(rest).ljust(to_size, "#")
+    for i in range(0, len(last), group_size):
+        correct.append(last[i:i + group_size])
+    return ",".join(correct)
+
+
+def _cast_integer(integer: str, pattern: str, group_char: str) -> str | None:
+    """:308-365 — right-to-left walk of the integer digits."""
+    res, sign = "", ""
+    if pattern[:1] in ("+", "-"):
+        pattern = pattern[1:]
+        if integer[:1] not in ("-", "+"):
+            return None
+    if integer[:1] in ("-", "+"):
+        sign, integer = integer[0], integer[1:]
+    pattern = _expand_int_groupings(pattern, len(integer))
+    pi = len(pattern) - 1
+    ii = len(integer) - 1
+    while ii >= 0:
+        p = pattern[pi] if pi >= 0 else None
+        d = integer[ii]
+        if p == "0":
+            if not d.isdigit():
+                return None
+            res, pi = d + res, pi - 1
+        elif p == "#":
+            if d.isdigit():
+                res, pi = d + res, pi - 1
+            else:
+                while pi >= 0 and pattern[pi] in "#,":
+                    pi -= 1
+                ii += 1
+        elif p == ",":
+            if d != group_char:
+                return None
+            pi -= 1
+        elif p is None and d.isdigit():
+            if integer.startswith("0"):
+                return None
+            res = d + res
+        else:
+            return None
+        ii -= 1
+    if pi >= 0 and pattern[:pi + 1].replace("#", "").replace(",", ""):
+        return None
+    return sign + res
+
+
+def _cast_decimals(decimals: str, pattern: str, group_char: str) -> str | None:
+    """:263-307 — left-to-right walk of the fraction digits."""
+    pattern = _expand_decimal_groupings(pattern, len(decimals))
+    res = ""
+    pi = 0
+    di = 0
+    while di < len(decimals):
+        p = pattern[pi] if pi < len(pattern) else None
+        d = decimals[di]
+        if p == "0":
+            if not d.isdigit():
+                return None
+            res, pi = res + d, pi + 1
+        elif p == "#":
+            if d.isdigit():
+                res, pi = res + d, pi + 1
+            else:
+                while pi < len(pattern) and pattern[pi] in "#,":
+                    pi += 1
+                di -= 1
+        elif p == ",":
+            if d != group_char:
+                return None
+            pi += 1
+        else:
+            return None
+        di += 1
+    if pi < len(pattern) and pattern[pi:].replace("#", "").replace(",", ""):
+        return None
+    return res
+
+
+def _divide_by(pattern: str, number: str):
+    """getDivideBy (:229-261): %/‰ must appear in the same position in both
+    pattern and value; returns (pattern, number, divisor) or None."""
+    for char, val in (("%", 100), ("‰", 1000)):
+        for pos in ("startswith", "endswith"):
+            if getattr(pattern, pos)(char):
+                if not getattr(number, pos)(char):
+                    return None
+                if pos == "startswith":
+                    return pattern[1:], number[1:], val
+                return pattern[:-1], number[:-1], val
+    return pattern, number, 1
+
+
+_AFFIX_BODY = "#0+-,."
+
+
+def _strip_literal_affixes(pattern: str, number: str):
+    """Superset vs the reference walker: strip literal prefix/suffix text
+    ("$", " EUR") from both pattern and value (UAX-35 affixes; the
+    reference's walker has no literal branch — parse-number.ts:308-365 —
+    and would reject). %/‰ are handled earlier; 'e'/'E' stay (exponent)."""
+    i = next((k for k, c in enumerate(pattern) if c in _AFFIX_BODY),
+             len(pattern))
+    j = next((k for k in range(len(pattern) - 1, -1, -1)
+              if pattern[k] in _AFFIX_BODY or pattern[k] in "eE"), i - 1)
+    prefix, suffix = pattern[:i], pattern[j + 1:]
+    if prefix:
+        if not number.startswith(prefix):
+            return None
+        number = number[len(prefix):]
+    if suffix:
+        if not number.endswith(suffix):
+            return None
+        number = number[:len(number) - len(suffix)]
+    return pattern[i:j + 1], number
+
+
+def parse_ldml(value: str, pattern: str, decimal_char: str = ".",
+               group_char: str = ",") -> float | None:
+    """castToNumberByPattern (:178-227): float result or None (no match)."""
+    dv = _divide_by(pattern, value)
+    if dv is None:
+        return None
+    pattern, value, divide_by = dv
+    stripped = _strip_literal_affixes(pattern, value)
+    if stripped is None:
+        return None
+    pattern, value = stripped
+    # pattern and value must agree on exponent marker case (:193-196)
+    if (("e" in pattern) != ("e" in value)) or (("E" in pattern) != ("E" in value)):
+        return None
+    pattern = pattern.lower()
+    value = value.lower()
+
+    mantissa_pattern, _, exp_pattern = pattern.partition("e")
+    integer_pattern, _, decimal_pattern = mantissa_pattern.partition(".")
+    has_dec_pattern = "." in mantissa_pattern
+    mantissa, _, exp = value.partition("e")
+    integer, _, decimal = mantissa.partition(decimal_char)
+    has_decimal = decimal_char in mantissa
+
+    res = _cast_integer(integer, integer_pattern, group_char)
+    if res is None:
+        return None
+    if has_decimal and decimal:
+        if not has_dec_pattern:
+            return None
+        dec_res = _cast_decimals(decimal, decimal_pattern, group_char)
+        if dec_res is None:
+            return None
+        res += "." + dec_res
+    elif decimal_pattern and "0" in decimal_pattern:
+        return None
+    if exp:
+        exp_res = _cast_integer(exp, exp_pattern, group_char)
+        if exp_res is None:
+            return None
+        res += "e" + exp_res
+    try:
+        return float(res) / divide_by
+    except ValueError:
+        return None
+
+
+def _parse_series(s: pd.Series, pattern: str, base: str,
+                  decimal_char: str = ".", group_char: str = ",") -> pd.Series:
     def one(v):
         if v is None:
             return None
-        m = rx.match(v)
-        if not m:
+        # INF/NaN pass through BEFORE the pattern path (parse-number.ts:99-110)
+        if base in ("double", "float", "number") and v in ("INF", "-INF", "NaN"):
+            return v
+        num = parse_ldml(v, pattern, decimal_char, group_char)
+        if num is None:
             return INVALID_SENTINEL + v
-        sign, int_digits, frac = m.group(1), m.group(2).replace(",", ""), m.group(3)
-        if len(int_digits) < min_int:
-            return INVALID_SENTINEL + v
-        num = float(sign + int_digits + frac)
-        if scale != 1:
-            num /= scale
-        if base in ("double", "float", "number", "decimal"):
-            out = js_number_str(num)
-            if out in ("0", "0.0") and sign == "-":
-                out = "-0"
-            return out
-        if num != int(num):
-            return INVALID_SENTINEL + v
-        return str(int(num))
+        # the reference emits transformedNumber+'' for EVERY base (:146) —
+        # no integrality re-check on the pattern path
+        out = js_number_str(num)
+        if num == 0 and v.startswith("-"):
+            out = "-0"
+        return out
 
     return s.map(one)
 
 
-def ldml_number_udf(pattern: str, base: str):
+def ldml_number_udf(pattern: str, base: str, decimal_char: str = ".",
+                    group_char: str = ","):
     """Series→Series pandas UDF applying one LDML pattern."""
 
     @F.pandas_udf(StringType())
     def _udf(s: pd.Series) -> pd.Series:
-        return _parse_series(s, pattern, base)
+        return _parse_series(s, pattern, base, decimal_char, group_char)
 
     return _udf
 

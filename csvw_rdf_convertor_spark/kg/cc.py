@@ -10,8 +10,10 @@ with salted repartitioning by conv_id").
 
 Scale design:
 - each iteration = one equi-join + one min-aggregate; ``min`` is algebraic →
-  map-side partial aggregation absorbs hub-node skew before the shuffle, and
-  an explicit salt column splits the reduce-side key for pathological hubs;
+  HashAggregate's map-side partial_min absorbs hub-node skew before the
+  shuffle (the built-in two-stage aggregation IS the salt — measured: an
+  extra explicit salt layer only multiplies partial output, see
+  linking.link_exact); residual join skew is AQE's skew-join split;
 - lineage is cut every iteration with ``localCheckpoint`` (SURVEY.md §4.3 —
   on a cluster this would be an Iceberg temp-table or checkpoint dir, same
   contract);
@@ -26,8 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-N_SALTS = 16
 
 #: below this many (symmetrized, deduped) edges the graph is metadata-sized
 #: — canonicalization graphs are dictionary-scale by construction (surface
@@ -103,13 +103,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                                .cast("decimal(38,0)"))).collect()[0][0]
 
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
-        # min label among neighbors — salted two-stage min to split hub keys
+        # min label among neighbors. ``min`` is algebraic: HashAggregate's
+        # map-side partial_min already splits hub nodes across input
+        # partitions before the exchange — an explicit salt layer only
+        # multiplies the partial output (same 4.5× lesson as
+        # linking.link_exact; hub handling is the partial agg itself)
         nbr = (sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-               .select(F.col("src").alias("node"), "comp",
-                       F.pmod(F.xxhash64("comp"), F.lit(N_SALTS)).alias("salt")))
-        partial = nbr.groupBy("node", "salt").agg(F.min("comp").alias("comp"))
-        nbr_min = partial.groupBy("node").agg(F.min("comp").alias("nbr_comp"))
+               .select(F.col("src").alias("node"), "comp"))
+        nbr_min = nbr.groupBy("node").agg(F.min("comp").alias("nbr_comp"))
 
         labels = (labels.join(nbr_min, "node", "left")
                   .select("node",
@@ -120,9 +123,81 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         labels = labels.localCheckpoint(eager=False)
         sig = signature(labels)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # one hop per iteration: a graph whose min-node eccentricity exceeds
+        # max_iter would silently return under-merged labels — refuse.
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} "
+            "iterations (graph diameter exceeds the budget); raise max_iter "
+            "or use connected_components_star (O(log² n) on any topology)")
     return labels
+
+
+def connected_components_star(edges: DataFrame, max_iter: int = 50,
+                              eager_checkpoint: bool = False) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) —
+    O(log² n) rounds on ANY topology, where plain min-label propagation
+    (:func:`connected_components`) needs O(diameter) rounds. Use this when
+    the graph may contain long chains (e.g. transitive doc-similarity
+    graphs); the alias/mention canonicalization graphs the KG pipeline
+    builds are star-like, so the default stays min-label + union-find.
+
+    Same primitives and scale posture as the fixpoint variant: each round is
+    two (groupBy-min + join) passes over the edge set; ``min`` is algebraic
+    (map-side partial aggregation absorbs hub skew), join keys are node ids,
+    lineage is cut per round. Output contract identical: (node, comp) with
+    comp = lexicographic min node id of the component.
+
+    edges(src:string, dst:string), undirected.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+
+    def signature(df: DataFrame):
+        return df.select(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n")).collect()[0]
+
+    prev = None
+    for _ in range(max_iter):
+        # -- large-star: v > u neighbors attach to m = min(Γ(u) ∪ {u}) -----
+        sym = e.union(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        mn = (sym.groupBy("src")
+              .agg(F.least(F.min("dst"), F.first("src")).alias("m")))
+        e = (sym.join(mn, "src")
+             .where(F.col("dst") > F.col("src"))
+             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+
+        # -- small-star: orient (max→min); v ≤ u attach to the min ---------
+        o = e.select(F.greatest("src", "dst").alias("src"),
+                     F.least("src", "dst").alias("dst"))
+        mn = (o.groupBy("src")
+              .agg(F.least(F.min("dst"), F.first("src")).alias("m")))
+        om = o.join(mn, "src")
+        e = (om.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+             .union(om.select(F.col("src"), F.col("m").alias("dst")))
+             .where(F.col("src") != F.col("dst"))
+             .distinct()
+             .localCheckpoint(eager=eager_checkpoint))
+
+        sig = signature(e)
+        if prev is not None and (sig.s, sig.n) == (prev.s, prev.n):
+            break
+        prev = sig
+
+    # converged: e is a forest of stars (node → component min); roots and
+    # isolated-after-dedup nodes label themselves
+    all_nodes = (edges.select(F.col("src").alias("node"))
+                 .union(edges.select(F.col("dst").alias("node"))).distinct())
+    return (all_nodes.join(e.withColumnRenamed("src", "node"), "node", "left")
+            .select("node", F.coalesce("dst", "node").alias("comp")))
 
 
 def link_graph_edges(linked: DataFrame, aliases: DataFrame) -> DataFrame:

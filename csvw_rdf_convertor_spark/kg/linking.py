@@ -34,18 +34,24 @@ FUZZY_THRESHOLD = 0.35
 def link_exact(mentions: DataFrame) -> DataFrame:
     """Resolve candidate sets by conv-level frequency voting.
 
-    Output: mentions + (entity_id, link_score). Hot conversations make the
-    (conv_id, entity) groupBy skewed → counts use a salted two-stage
-    aggregate (partial per salt, then final), per SURVEY.md §4.1.
+    Output: mentions + (entity_id, link_score). Skew note: ``count`` is
+    algebraic, so Spark's HashAggregate already runs two-stage — the
+    map-side partial_count splits a hot conversation's rows across every
+    input partition BEFORE the exchange, which is exactly what an explicit
+    salt would do. An earlier revision salted anyway; measured at 2.25M
+    mentions/8 cores that was 4.5× SLOWER (115 s → 25 s): typical
+    (conv, entity) groups hold only a handful of mentions, so 16-way
+    salting inflated the partial-aggregate output to ~input size and
+    doubled the shuffled rows for zero skew benefit. Explicit salting is
+    reserved for non-algebraic aggregations and joins (see link_fuzzy's
+    band join and SURVEY.md §4.1).
     """
     cand = mentions.select(
         "conv_id", "turn_idx", "mention", "mention_norm", "match_i",
         F.explode("candidates").alias("entity_id"))
 
-    # salted two-stage count of entity support per conversation
-    salted = cand.withColumn("salt", F.pmod(F.xxhash64("turn_idx", "match_i"), F.lit(16)))
-    partial = salted.groupBy("conv_id", "entity_id", "salt").agg(F.count("*").alias("c"))
-    support = partial.groupBy("conv_id", "entity_id").agg(F.sum("c").alias("conv_support"))
+    support = (cand.groupBy("conv_id", "entity_id")
+               .agg(F.count("*").alias("conv_support")))
 
     scored = cand.join(support, ["conv_id", "entity_id"])
     # rank and per-mention total share ONE window ordering → a single

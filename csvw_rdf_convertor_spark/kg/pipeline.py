@@ -12,8 +12,11 @@ Scale contract (north rule):
   buckets, so a resumed run is exactly-once per conversation;
 - row numbering is per-conv (turn_idx is data, not a global sort) — the
   whole mapping stage is narrow, no shuffle;
-- hot-conversation skew: linking groupBys are salted (linking.py), CC min-
-  aggregates are salted + map-side combined (cc.py);
+- hot-conversation skew: algebraic aggregations (linking support counts,
+  CC min-labels) rely on map-side partial aggregation — the built-in
+  two-stage combine that splits hot keys across input partitions (an
+  explicit salt layer measured 4.5× slower, see linking.link_exact);
+  joins lean on AQE skew-split; the LSH band joins use uniform hash keys;
 - resumability: a manifest parquet records (bucket, counts, finished_at);
   rerun anti-joins completed buckets before any work happens, so a killed
   run resumes where it stopped with no duplicate triples;

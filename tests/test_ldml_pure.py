@@ -57,3 +57,59 @@ def test_compile_cache_and_shape():
     rx, min_int, min_frac, max_frac, primary = compile_ldml("#,##0.0#")
     assert min_int == 1 and min_frac == 1 and max_frac == 2 and primary == 3
     assert compile_ldml("#,##0.0#") is not None  # cached, no error
+
+
+# --- walker-port capabilities (parse-number.ts:178-399) ----------------------
+
+def test_exponent_clause():
+    assert run("##0.####e0", "double", ["1.5e3"]) == ["1500"]
+    assert run("##0.####e0", "double", ["1.5e-3"]) == ["0.0015"]
+    # pattern and value must agree on the exponent marker and its case
+    assert run("##0.####e0", "double", ["1.5"])[0].startswith(INVALID_SENTINEL)
+    assert run("##0.####E0", "double", ["1.5e3"])[0].startswith(INVALID_SENTINEL)
+    assert run("#0", "double", ["1e3"])[0].startswith(INVALID_SENTINEL)
+
+
+def test_exponent_signed_pattern():
+    assert run("0.###e+0", "double", ["1.2e+2"]) == ["120"]
+    assert run("0.###e+0", "double", ["1.2e2"])[0].startswith(INVALID_SENTINEL)
+
+
+def test_sign_slot_in_pattern():
+    assert run("+#0", "integer", ["+42"]) == ["42"]
+    assert run("+#0", "integer", ["-42"]) == ["-42"]
+    assert run("+#0", "integer", ["42"])[0].startswith(INVALID_SENTINEL)
+
+
+def test_secondary_grouping_indian_style():
+    assert run("#,##,##0", "integer", ["12,34,567"]) == ["1234567"]
+    assert run("#,##,##0", "integer", ["1,234,567"])[0].startswith(INVALID_SENTINEL)
+
+
+def test_percent_must_agree_between_pattern_and_value():
+    assert run("#0", "decimal", ["50%"])[0].startswith(INVALID_SENTINEL)
+    assert run("#0%", "decimal", ["50"])[0].startswith(INVALID_SENTINEL)
+
+
+def test_locale_separator_chars():
+    import pandas as pd
+    from csvw_rdf_convertor_spark.functions.ldml import _parse_series
+    out = list(_parse_series(pd.Series(["1.234,5"]), "#,##0.0#", "decimal",
+                             decimal_char=",", group_char="."))
+    assert out == ["1234.5"]
+
+
+def test_pattern_path_emits_js_canonical_for_every_base():
+    # the reference's pattern path re-emits transformedNumber+'' with no
+    # integrality re-check (parse-number.ts:146) — '50%' integer → '0.5'
+    assert run("#0%", "integer", ["50%"]) == ["0.5"]
+
+
+def test_inf_nan_bypass_pattern():
+    assert run("#0.0", "double", ["INF", "-INF", "NaN"]) == ["INF", "-INF", "NaN"]
+
+
+def test_extra_digits_beyond_pattern():
+    # undefined pattern slot accepts digits unless the integer has a leading 0
+    assert run("0", "integer", ["1234"]) == ["1234"]
+    assert run("0", "integer", ["01234"])[0].startswith(INVALID_SENTINEL)
