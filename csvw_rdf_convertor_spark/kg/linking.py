@@ -20,8 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..ops.minhash import (char_shingles, jaccard, lsh_bands, shingle_hexes,
-                           signature_from_hexes)
+from ..ops.minhash import (char_shingles, jaccard, lsh_bands,
+                           pairs_from_hexes, shingle_hexes,
+                           signature_from_pairs)
 
 N_PERM = 32
 # 16 bands × 2 rows: P(block | jaccard=0.4) ≈ 0.94 — typo-level similarity
@@ -85,10 +86,14 @@ def link_fuzzy(unmatched: DataFrame,
     """
     m = (unmatched.select("conv_id", "turn_idx", "mention", "mention_norm", "match_i")
          .withColumn("m_hx", shingle_hexes(char_shingles(F.col("mention_norm"))))
-         .withColumn("m_sig", signature_from_hexes(F.col("m_hx"), N_PERM)))
+         .withColumn("m_pr", pairs_from_hexes(F.col("m_hx")))
+         .withColumn("m_sig", signature_from_pairs(F.col("m_pr"), N_PERM))
+         .drop("m_pr"))
     a = (aliases
          .withColumn("a_hx", shingle_hexes(char_shingles(F.col("alias"))))
-         .withColumn("a_sig", signature_from_hexes(F.col("a_hx"), N_PERM)))
+         .withColumn("a_pr", pairs_from_hexes(F.col("a_hx")))
+         .withColumn("a_sig", signature_from_pairs(F.col("a_pr"), N_PERM))
+         .drop("a_pr"))
 
     # band rows carry only ids + the short surface strings — never the
     # shingle/signature arrays (the 16× fan-out would multiply them through

@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .minhash import (jaccard, lsh_bands, shingle_hexes, signature_from_hexes,
+from .minhash import (jaccard, lsh_bands, pairs_from_hexes, shingle_hexes,
+                      signature_from_pairs,
                       word_shingles)
 
 # --- exact dedup ---------------------------------------------------------------
@@ -83,7 +84,9 @@ def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
                         word_shingles(F.col(text_col), shingle_words).alias("sh"))
             .where(F.size("sh") > 0)
             .withColumn("hx", shingle_hexes(F.col("sh")))
-            .withColumn("sig", signature_from_hexes(F.col("hx"), n_perm)))
+            .withColumn("pr", pairs_from_hexes(F.col("hx")))
+            .withColumn("sig", signature_from_pairs(F.col("pr"), n_perm))
+            .drop("pr"))
     bands = lsh_bands(base, "sig", n_bands, rows_per_band, ["id"])
 
     left = bands.select("band", "band_key", F.col("id").alias("id_a"))

@@ -56,16 +56,32 @@ def shingle_hexes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.md5(s))
 
 
-def signature_from_hexes(hexes: Column, n_perm: int = 64) -> Column:
+def pairs_from_hexes(hexes: Column) -> Column:
+    """array<struct<h1,h2>> of 52-bit digest halves (stage this too when
+    the signature is built in a hot path — one substr/conv pass per
+    shingle instead of one per permutation)."""
+    return F.transform(hexes, pair52_from_hex)
+
+
+def signature_from_pairs(pairs: Column, n_perm: int = 64) -> Column:
     """array<bigint> of length n_perm; empty shingle set → nulls.
 
-    min over shingles of (h1 + j*h2) for j = 1..n_perm.
-    """
-    pairs = F.transform(hexes, pair52_from_hex)
-    return F.array(*[
-        F.array_min(F.transform(pairs, lambda p: perm_value(p, j)))
-        for j in range(1, n_perm + 1)
-    ])
+    min over shingles of (h1 + j*h2) for j = 1..n_perm — expressed with
+    nested higher-order functions, NOT an unrolled ``F.array(*64 copies)``:
+    the unrolled form duplicated the pair-extraction subtree 64×, and the
+    resulting codegen compile time alone added ~10s of fixed per-stage cost
+    (measured in the linking profile — identical at 2 and 8 cores, i.e.
+    pure scaling-efficiency poison). The math is bit-identical, so the
+    DuckDB oracle replicas are unchanged."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(n_perm)),
+        lambda j: F.array_min(
+            F.transform(pairs, lambda p: p["h1"] + j * p["h2"])))
+
+
+def signature_from_hexes(hexes: Column, n_perm: int = 64) -> Column:
+    """Signature straight from the staged md5-hex array."""
+    return signature_from_pairs(pairs_from_hexes(hexes), n_perm)
 
 
 def minhash_signature(shingles: Column, n_perm: int = 64) -> Column:
@@ -82,14 +98,19 @@ def lsh_bands(df: DataFrame, sig_col: str, n_bands: int, rows_per_band: int,
     the candidate-pair join — carrying arrays here multiplies them through
     the exchange ``n_bands`` times.
     """
-    bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            phash60(F.concat_ws(
-                ",", *[F.element_at(F.col(sig_col), b * rows_per_band + r + 1).cast("string")
-                       for r in range(rows_per_band)])).alias("band_key"))
-        for b in range(n_bands)
-    ])
+    # higher-order form (constant-size expression tree — see
+    # signature_from_pairs); identical band keys: slice(sig, b·r+1, r)
+    # joined with "," equals the old per-band concat_ws of element_at calls
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            phash60(F.array_join(
+                F.transform(
+                    F.slice(F.col(sig_col), b * rows_per_band + 1,
+                            rows_per_band),
+                    lambda v: v.cast("string")),
+                ",")).alias("band_key")))
     return (df.select(*id_cols, F.explode(bands).alias("b"))
             .select(*id_cols, F.col("b.band").alias("band"),
                     F.col("b.band_key").alias("band_key")))

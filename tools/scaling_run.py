@@ -102,7 +102,16 @@ the measurement isolates the engine's scaling rather than the box's.
   parallelism run cannot borrow the other 30 machine cores for JVM GC
   threads / netty pools / python workers (a real N-core executor has N
   cores — without pinning the N baseline is inflated and efficiency
-  understated).
+  understated);
+- **shuffle local dirs and the KG sink live on tmpfs** (`/dev/shm`): on a
+  real cluster, 4× the executors means 4× the shuffle disks and a
+  distributed-storage sink whose bandwidth grows with the writers, but this
+  box has ONE virtio disk shared by both parallelism levels — measured, the
+  linking stage's shuffles pinned at ~40 s regardless of core count on the
+  shared disk, vs 23 s → 7.3 s (2 → 8 cores) on tmpfs. tmpfs restores the
+  bandwidth-scales-with-cores property a cluster actually has while keeping
+  the full shuffle/commit code path (spill files, fetch, rename, dynamic
+  partition overwrite).
 
 ## Results (triples/sec)
 
@@ -127,6 +136,7 @@ Raw JSON: `BENCH/scaling_raw.json`.
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
     (REPO / "BENCH" / "scaling_raw.json").write_text(json.dumps(summary, indent=2))
+    shutil.rmtree("/dev/shm/spark_scaling", ignore_errors=True)
 
 
 if __name__ == "__main__":
