@@ -707,7 +707,8 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs (portable md5-derived permutations — the
     DuckDB oracle computes bit-identical signatures, bands and pairs)."""
     docs = _p(spark, sf_dir, "documents")
-    return dedup.minhash_near_duplicates(docs, threshold=0.6)
+    return dedup.minhash_near_duplicates(docs, threshold=0.6,
+                                         hash_family="md5")
 
 
 def _sql_minhash_pairs(threshold: float = 0.6, n_perm: int = 64,
@@ -757,7 +758,7 @@ SQL_DEDUP_MINHASH = _sql_minhash_pairs()
 def q_dedup_simhash(spark, sf_dir):
     """SimHash groups (portable md5-nibble bit hashing, hex-string output)."""
     docs = _p(spark, sf_dir, "documents")
-    return dedup.simhash_duplicates(docs)
+    return dedup.simhash_duplicates(docs, hash_family="md5")
 
 
 def _sql_simhash() -> str:

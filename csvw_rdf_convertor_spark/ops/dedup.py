@@ -21,9 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .minhash import (jaccard, lsh_bands, pairs_from_hexes, shingle_hexes,
-                      signature_from_pairs,
-                      word_shingles)
+from .minhash import (jaccard, lsh_bands, shingle_pairs,
+                      signature_from_pairs, word_shingles)
 
 # --- exact dedup ---------------------------------------------------------------
 
@@ -65,11 +64,12 @@ def normalized_duplicates(docs: DataFrame, text_col: str = "text",
 def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
                             id_col: str = "doc_id", shingle_words: int = 3,
                             n_perm: int = 64, n_bands: int = 16,
-                            threshold: float = 0.8) -> DataFrame:
+                            threshold: float = 0.8,
+                            hash_family: str = "xxhash64") -> DataFrame:
     """Candidate pairs above a Jaccard threshold: (id_a, id_b, jacc).
 
-    Pipeline: shingle (narrow) → md5-hex per shingle (narrow, staged so each
-    shingle is digested once) → signature (narrow) → band explode carrying
+    Pipeline: shingle (narrow) → (h1,h2) pair per shingle (narrow, staged so
+    each shingle is hashed once) → signature (narrow) → band explode carrying
     ONLY the id → self-join on (band, band_key) (shuffle on a uniform hash
     key, rows are a handful of bytes) → distinct pair → join the shingle
     sets back on the uniform id key → exact-Jaccard verify.
@@ -78,16 +78,21 @@ def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
     band fan-out from duplicating every document's shingle footprint through
     the exchange — at 100 TB that duplication, not the joins, is the
     bottleneck (VERDICT r01 "what's wrong" #3).
+
+    ``hash_family``: 'xxhash64' (production default — native codegen hash)
+    or 'md5' (engine-portable; the oracle gate pins this). The output pair
+    set is family-independent up to LSH candidate recall, and the final
+    exact-Jaccard filter makes surviving pairs threshold-exact either way
+    (equivalence property tested in tests/test_hash_family.py).
     """
     rows_per_band = n_perm // n_bands
     base = (docs.select(F.col(id_col).alias("id"),
                         word_shingles(F.col(text_col), shingle_words).alias("sh"))
             .where(F.size("sh") > 0)
-            .withColumn("hx", shingle_hexes(F.col("sh")))
-            .withColumn("pr", pairs_from_hexes(F.col("hx")))
+            .withColumn("pr", shingle_pairs(F.col("sh"), hash_family))
             .withColumn("sig", signature_from_pairs(F.col("pr"), n_perm))
             .drop("pr"))
-    bands = lsh_bands(base, "sig", n_bands, rows_per_band, ["id"])
+    bands = lsh_bands(base, "sig", n_bands, rows_per_band, ["id"], hash_family)
 
     left = bands.select("band", "band_key", F.col("id").alias("id_a"))
     right = bands.select("band", "band_key", F.col("id").alias("id_b"))
@@ -131,6 +136,30 @@ def simhash_token_hexes(text: Column) -> Column:
     return F.transform(tokens, lambda t: F.md5(t))
 
 
+def simhash_token_longs(text: Column) -> Column:
+    """array<long>: one xxhash64 per lowercase whitespace token (stage this
+    — the production-family analogue of ``simhash_token_hexes``)."""
+    tokens = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    return F.transform(tokens, lambda t: F.xxhash64(t))
+
+
+def simhash_bit_sums_xx(tok_longs: Column) -> Column:
+    """array<long> of 64 signed bit-sums straight off the native hash bits:
+    slot i = Σ_tokens (2·bit_i(xxhash64(token)) − 1). Same SimHash algebra
+    as the md5 family, 64 shift-and-mask ops per token instead of 16 hex
+    nibble parses."""
+
+    def bitvec(h):
+        return F.array(*[
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            for i in range(64)])
+
+    return F.aggregate(
+        tok_longs,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, b: a + b))
+
+
 def simhash_bit_sums(tok_hexes: Column) -> Column:
     """array<long> of 64 signed bit-sums: slot i = Σ_tokens (2·bit_i − 1),
     where bit_i of a token is bit (i mod 4) of hex nibble (i div 4) of its
@@ -170,13 +199,24 @@ def simhash_hex(text: Column) -> Column:
 
 
 def simhash_duplicates(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       hash_family: str = "xxhash64") -> DataFrame:
     """Identical-simhash groups (Hamming-0). For Hamming ≤ k, band the 16
     hex chars into k+1 slices and join per slice (pigeonhole) — same
-    lsh_bands machinery."""
-    staged = (docs
-              .withColumn("_th", simhash_token_hexes(F.col(text_col)))
-              .withColumn("_bs", simhash_bit_sums(F.col("_th"))))
+    lsh_bands machinery.
+
+    ``hash_family`` picks the per-token bit source (xxhash64 = production,
+    md5 = oracle-portable). Token-bag-identical docs collide in either
+    family — only hash-collision near-groups could differ (equivalence
+    property tested in tests/test_hash_family.py)."""
+    if hash_family == "md5":
+        staged = (docs
+                  .withColumn("_th", simhash_token_hexes(F.col(text_col)))
+                  .withColumn("_bs", simhash_bit_sums(F.col("_th"))))
+    else:
+        staged = (docs
+                  .withColumn("_th", simhash_token_longs(F.col(text_col)))
+                  .withColumn("_bs", simhash_bit_sums_xx(F.col("_th"))))
     return (staged.select(simhash_from_sums(F.col("_bs")).alias("simhash"),
                           F.col(id_col))
             .groupBy("simhash")

@@ -1,11 +1,20 @@
 """MinHash + LSH banding as pure column expressions.
 
-Signature = per-permutation min of ``h1(shingle) + j * h2(shingle)`` where
-(h1, h2) are two 52-bit halves of ONE md5 digest per shingle (the standard
-linear-combination permutation trick) — entirely JVM-side, deterministic
-across retries, and **engine-portable**: the DuckDB oracle computes bit-
-identical signatures (see ``functions/phash.py``). One digest per shingle is
-also cheaper than the previous 64-hash-calls-per-shingle design.
+Signature = per-permutation min of ``h1(shingle) + j * h2(shingle)`` (the
+standard linear-combination permutation trick) — entirely JVM-side and
+deterministic across retries. The (h1, h2) pair comes from a pluggable
+hash family (``functions/phash.py``):
+
+- ``'xxhash64'`` (default): native-codegen hashes — the production/bench
+  path; the hash is the inner loop of a 100 TB dedup, so it must be cheap.
+- ``'md5'``: engine-portable 52-bit digest halves — pinned by the
+  oracle-gated queries so the DuckDB oracle computes bit-identical
+  signatures, bands and pairs.
+
+Both families obey the same <2^59 ANSI-overflow bound; a pytest property
+asserts they yield identical verified pair sets (the algorithm is
+hash-agnostic — only candidate *recall* could differ, and the exact-Jaccard
+verification step makes the output threshold-exact either way).
 
 LSH bands hash signature slices; candidate pairs come from an equi-join on
 (band, band_key), which Catalyst executes as a shuffle hash join on a key
@@ -31,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.phash import pair52_from_hex, perm_value, phash60
+from ..functions.phash import FAMILIES, key_hash, pair52_from_hex, xx_pair52
 
 
 def char_shingles(col: Column, k: int = 3) -> Column:
@@ -63,6 +72,20 @@ def pairs_from_hexes(hexes: Column) -> Column:
     return F.transform(hexes, pair52_from_hex)
 
 
+def shingle_pairs(shingles: Column, hash_family: str = "xxhash64") -> Column:
+    """array<struct<h1,h2>> per shingle in the given hash family.
+
+    The xxhash64 path is two native hash calls per element — nothing to
+    stage. md5 callers in hot paths should stage ``shingle_hexes`` in its
+    own projection and use ``pairs_from_hexes`` (one digest per shingle).
+    """
+    if hash_family not in FAMILIES:
+        raise ValueError(f"unknown hash family {hash_family!r}")
+    if hash_family == "md5":
+        return pairs_from_hexes(shingle_hexes(shingles))
+    return F.transform(shingles, xx_pair52)
+
+
 def signature_from_pairs(pairs: Column, n_perm: int = 64) -> Column:
     """array<bigint> of length n_perm; empty shingle set → nulls.
 
@@ -91,12 +114,14 @@ def minhash_signature(shingles: Column, n_perm: int = 64) -> Column:
 
 
 def lsh_bands(df: DataFrame, sig_col: str, n_bands: int, rows_per_band: int,
-              id_cols: list[str]) -> DataFrame:
+              id_cols: list[str], hash_family: str = "xxhash64") -> DataFrame:
     """Explode a signature column into (id_cols..., band, band_key) rows.
 
     ``id_cols`` should be exactly the id columns needed to join back after
     the candidate-pair join — carrying arrays here multiplies them through
-    the exchange ``n_bands`` times.
+    the exchange ``n_bands`` times. The band key is hashed in the given
+    family (xxhash64 for production joins; md5 when the oracle must replay
+    the key values).
     """
     # higher-order form (constant-size expression tree — see
     # signature_from_pairs); identical band keys: slice(sig, b·r+1, r)
@@ -105,12 +130,12 @@ def lsh_bands(df: DataFrame, sig_col: str, n_bands: int, rows_per_band: int,
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda b: F.struct(
             b.cast("int").alias("band"),
-            phash60(F.array_join(
+            key_hash(F.array_join(
                 F.transform(
                     F.slice(F.col(sig_col), b * rows_per_band + 1,
                             rows_per_band),
                     lambda v: v.cast("string")),
-                ",")).alias("band_key")))
+                ","), hash_family).alias("band_key")))
     return (df.select(*id_cols, F.explode(bands).alias("b"))
             .select(*id_cols, F.col("b.band").alias("band"),
                     F.col("b.band_key").alias("band_key")))
