@@ -56,6 +56,22 @@ def test_minhash_pairs_join_is_on_band_keys(spark):
     assert "band_key" in plan and "CartesianProduct" not in plan
 
 
+def test_ivf_assign_has_no_corpus_exchange(spark):
+    """Cell assignment must be a narrow fold over the broadcast centroid
+    array — no per-vector window, no Exchange partitioned by vec_id
+    (VERDICT r02 fix #5)."""
+    from csvw_rdf_convertor_spark.ops import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _cents, assigned = similarity.ivf_assign(emb, n_cells=8)
+    plan = _plan(assigned)
+    assert "Window" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "vec_id" not in ln, f"corpus shuffled by vec_id: {ln}"
+    # the centroid side reaches the corpus via a broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_minhash_band_exchange_carries_ids_only(spark):
     """The 16× band fan-out must not duplicate shingle/signature arrays
     through the shuffle (VERDICT r01 'what's wrong' #3): every Exchange that
