@@ -86,9 +86,13 @@ def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
     (equivalence property tested in tests/test_hash_family.py).
     """
     rows_per_band = n_perm // n_bands
-    base = (docs.select(F.col(id_col).alias("id"),
-                        word_shingles(F.col(text_col), shingle_words).alias("sh"))
-            .where(F.size("sh") > 0)
+    # null text is the ONLY way to an empty shingle array (split("") = [""]),
+    # so the guard is a cheap scan-pushable IsNotNull instead of a
+    # size(sh) > 0 that forces a second shingle evaluation inside the
+    # pushed-down filter
+    base = (docs.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    word_shingles(F.col(text_col), shingle_words).alias("sh"))
             .withColumn("pr", shingle_pairs(F.col("sh"), hash_family))
             .withColumn("sig", signature_from_pairs(F.col("pr"), n_perm))
             .drop("pr"))
@@ -102,9 +106,9 @@ def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
             .dropDuplicates(["id_a", "id_b"]))
 
     # shingle lookup comes straight off the source (no signature recompute)
-    sh_tbl = (docs.select(F.col(id_col).alias("id"),
-                          word_shingles(F.col(text_col), shingle_words).alias("sh"))
-              .where(F.size("sh") > 0))
+    sh_tbl = (docs.where(F.col(text_col).isNotNull())
+              .select(F.col(id_col).alias("id"),
+                      word_shingles(F.col(text_col), shingle_words).alias("sh")))
     pairs = (cand
              .join(sh_tbl.select(F.col("id").alias("id_a"),
                                  F.col("sh").alias("sh_a")), "id_a")

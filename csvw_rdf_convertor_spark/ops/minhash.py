@@ -86,20 +86,43 @@ def shingle_pairs(shingles: Column, hash_family: str = "xxhash64") -> Column:
     return F.transform(shingles, xx_pair52)
 
 
-def signature_from_pairs(pairs: Column, n_perm: int = 64) -> Column:
-    """array<bigint> of length n_perm; empty shingle set → nulls.
+#: fold init for the per-permutation running min — above every perm value
+#: (which stay < 65·2^52 < 2^59) but far below bigint overflow territory
+_SIG_MAX = 1 << 62
 
-    min over shingles of (h1 + j*h2) for j = 1..n_perm — expressed with
-    nested higher-order functions, NOT an unrolled ``F.array(*64 copies)``:
-    the unrolled form duplicated the pair-extraction subtree 64×, and the
-    resulting codegen compile time alone added ~10s of fixed per-stage cost
-    (measured in the linking profile — identical at 2 and 8 cores, i.e.
-    pure scaling-efficiency poison). The math is bit-identical, so the
-    DuckDB oracle replicas are unchanged."""
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(n_perm)),
-        lambda j: F.array_min(
-            F.transform(pairs, lambda p: p["h1"] + j * p["h2"])))
+
+def signature_from_pairs(pairs: Column, n_perm: int = 64) -> Column:
+    """array<bigint> of length n_perm: sig[j] = min over shingles of
+    (h1 + j*h2), j = 1..n_perm.
+
+    Expressed as ONE ``aggregate`` fold over the pair array — per pair,
+    compute its 64 permutation values and ``least`` them into the running
+    min vector. Two earlier shapes both failed at scale:
+
+    - unrolled ``F.array(*64 × array_min)``: duplicated the pair subtree
+      64×; codegen compile alone added ~10s fixed per-stage cost.
+    - ``transform(sequence(1,64), j -> array_min(transform(pairs, …)))``:
+      constant-size tree, BUT ``pairs`` sits *inside* the outer lambda, so
+      when CollapseProject inlines the staged pair/shingle projections
+      (single static reference ⇒ always inlined), the whole shingle+hash
+      chain is re-evaluated once per permutation at runtime — a silent 64×
+      (measured: 204s vs 7s at sf0.1). HOFs are CodegenFallback, so no CSE
+      rescues it.
+
+    A fold is immune by construction: the expensive array is the
+    aggregate's ARGUMENT, which Spark evaluates exactly once per row no
+    matter how the optimizer collapses projections. The math is
+    bit-identical (min via ``least`` with a +∞-like init), so the DuckDB
+    oracle replicas are unchanged. Empty pair arrays yield the init vector
+    — callers filter empty shingle sets before signing."""
+    perms = F.sequence(F.lit(1), F.lit(n_perm))
+    return F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(_SIG_MAX).cast("long"), n_perm),
+        lambda acc, p: F.zip_with(
+            acc,
+            F.transform(perms, lambda j: p["h1"] + j * p["h2"]),
+            lambda a, b: F.least(a, b)))
 
 
 def signature_from_hexes(hexes: Column, n_perm: int = 64) -> Column:
