@@ -163,6 +163,7 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50,
             F.count("*").alias("n")).collect()[0]
 
     prev = None
+    converged = False
     for _ in range(max_iter):
         # -- large-star: v > u neighbors attach to m = min(Γ(u) ∪ {u}) -----
         sym = e.union(e.select(F.col("dst").alias("src"),
@@ -189,8 +190,17 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50,
 
         sig = signature(e)
         if prev is not None and (sig.s, sig.n) == (prev.s, prev.n):
+            converged = True
             break
         prev = sig
+    if not converged:
+        # same contract as the fixpoint variant: exhausting max_iter without
+        # an edge-signature fixpoint would silently return under-merged
+        # labels (and duplicate node rows from the final left join on a
+        # non-star edge set) — refuse instead.
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_iter} rounds; "
+            "raise max_iter (expected O(log² n) rounds)")
 
     # converged: e is a forest of stars (node → component min); roots and
     # isolated-after-dedup nodes label themselves

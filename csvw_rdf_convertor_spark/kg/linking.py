@@ -117,10 +117,21 @@ def link_fuzzy(unmatched: DataFrame,
 
 def link(mentions: DataFrame, aliases: DataFrame,
          threshold: float = FUZZY_THRESHOLD) -> DataFrame:
-    """Full linking: exact path ∪ fuzzy fallback."""
+    """Full linking: exact path ∪ fuzzy fallback.
+
+    The fuzzy branch is only BUILT when unmatched mentions exist: its
+    LSH/signature expression trees carry ~35s of plan-compile/codegen fixed
+    cost (measured at local[32] — independent of data volume), which is
+    pure waste when the dictionary matched everything. The ``isEmpty``
+    probe is one short-circuit scan of the (normally persisted) mention
+    frame — data-volume-proportional work only when it actually finds a
+    row, in which case the fuzzy path was needed anyway."""
     exact = link_exact(mentions.where(F.size("candidates") > 0))
-    fuzz = link_fuzzy(
-        mentions.where(F.size("candidates") == 0), aliases, threshold
-    ).join(mentions.select("conv_id", "turn_idx", "match_i", "mention"),
-           ["conv_id", "turn_idx", "match_i"])
+    unmatched = mentions.where(F.size("candidates") == 0)
+    if unmatched.isEmpty():
+        return exact
+    fuzz = link_fuzzy(unmatched, aliases, threshold
+                      ).join(mentions.select("conv_id", "turn_idx", "match_i",
+                                             "mention"),
+                             ["conv_id", "turn_idx", "match_i"])
     return exact.unionByName(fuzz.select(*exact.columns))

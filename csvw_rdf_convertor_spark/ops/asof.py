@@ -53,7 +53,14 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: Sequence[str] | str,
     payload = F.struct(
         F.col(right_time).alias("t"),
         *[F.col(c).alias(c) for c in right_cols])
-    r = right.select(
+    # NULL-time right rows would sort FIRST under the ascending window
+    # (nulls-first) and become the baseline match for every left row of
+    # their key; DuckDB ASOF JOIN (the semantic target and the oracle)
+    # never matches NULL times — drop them before the union. NULL-time
+    # left rows keep DuckDB's behavior too: no right row satisfies
+    # t <= NULL, and since they sort first and rights are filtered,
+    # their running-last is null.
+    r = right.where(F.col(right_time).isNotNull()).select(
         *[F.col(k) for k in keys],
         F.col(right_time).alias("__asof_t"),
         payload.alias(_PAY),
