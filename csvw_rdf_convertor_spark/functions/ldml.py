@@ -212,15 +212,27 @@ def _divide_by(pattern: str, number: str):
 _AFFIX_BODY = "#0+-,."
 
 
+def _is_exp_marker(pattern: str, k: int) -> bool:
+    """'e'/'E' is pattern body only when it introduces an actual exponent
+    clause (followed by a digit/#/0/sign); a bare 'E' inside literal suffix
+    text ('# EUR', '#0 kWh') is affix, not body."""
+    return (pattern[k] in "eE" and k + 1 < len(pattern)
+            and (pattern[k + 1].isdigit() or pattern[k + 1] in "#0+-"))
+
+
 def _strip_literal_affixes(pattern: str, number: str):
     """Superset vs the reference walker: strip literal prefix/suffix text
     ("$", " EUR") from both pattern and value (UAX-35 affixes; the
     reference's walker has no literal branch — parse-number.ts:308-365 —
-    and would reject). %/‰ are handled earlier; 'e'/'E' stay (exponent)."""
+    and would reject). %/‰ are handled earlier; exponent markers stay
+    (recognized via :func:`_is_exp_marker`, so suffixes containing a bare
+    'E'/'e' — '# EUR' — strip cleanly instead of tripping the later
+    exponent-marker agreement check)."""
     i = next((k for k, c in enumerate(pattern) if c in _AFFIX_BODY),
              len(pattern))
     j = next((k for k in range(len(pattern) - 1, -1, -1)
-              if pattern[k] in _AFFIX_BODY or pattern[k] in "eE"), i - 1)
+              if pattern[k] in _AFFIX_BODY or _is_exp_marker(pattern, k)),
+             i - 1)
     prefix, suffix = pattern[:i], pattern[j + 1:]
     if prefix:
         if not number.startswith(prefix):
@@ -250,11 +262,19 @@ def parse_ldml(value: str, pattern: str, decimal_char: str = ".",
     pattern = pattern.lower()
     value = value.lower()
 
-    mantissa_pattern, _, exp_pattern = pattern.partition("e")
-    integer_pattern, _, decimal_pattern = mantissa_pattern.partition(".")
+    # reference uses split()[0..1] (parse-number.ts:205-210): a value with
+    # TWO decimal separators ('1.2.3') silently drops the third segment and
+    # parses 1.2 — partition() would feed '2.3' to the decimal walker and
+    # (more strictly) reject; mimic split-and-take-first-two for fidelity
+    def _split2(s: str, sep: str) -> tuple[str, str]:
+        parts = s.split(sep)
+        return parts[0], (parts[1] if len(parts) > 1 else "")
+
+    mantissa_pattern, exp_pattern = _split2(pattern, "e")
+    integer_pattern, decimal_pattern = _split2(mantissa_pattern, ".")
     has_dec_pattern = "." in mantissa_pattern
-    mantissa, _, exp = value.partition("e")
-    integer, _, decimal = mantissa.partition(decimal_char)
+    mantissa, exp = _split2(value, "e")
+    integer, decimal = _split2(mantissa, decimal_char)
     has_decimal = decimal_char in mantissa
 
     res = _cast_integer(integer, integer_pattern, group_char)

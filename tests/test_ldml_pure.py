@@ -113,3 +113,22 @@ def test_extra_digits_beyond_pattern():
     # undefined pattern slot accepts digits unless the integer has a leading 0
     assert run("0", "integer", ["1234"]) == ["1234"]
     assert run("0", "integer", ["01234"])[0].startswith(INVALID_SENTINEL)
+
+
+def test_literal_suffix_containing_e():
+    # a bare 'E'/'e' in literal suffix text is affix, not an exponent marker
+    # (ADVICE r02: '# EUR' / '#0 kWh' used to reject valid values)
+    from csvw_rdf_convertor_spark.functions.ldml import parse_ldml
+    assert parse_ldml("12 EUR", "# EUR") == 12.0
+    assert parse_ldml("5 kWh", "#0 kWh") == 5.0
+    assert parse_ldml("7 elk", "#0 elk") == 7.0
+    # real exponent clauses still parse and still require marker agreement
+    assert parse_ldml("1.2e3", "#.#e#") == 1200.0
+    assert parse_ldml("3E4", "#E0") == 30000.0
+    assert parse_ldml("12", "#e0") is None  # pattern has exponent, value not
+
+
+def test_two_decimal_separators_split_fidelity():
+    # reference split()[0..1] drops the third segment: '1.2.3' parses as 1.2
+    from csvw_rdf_convertor_spark.functions.ldml import parse_ldml
+    assert parse_ldml("1.2.3", "#.#") == 1.2
