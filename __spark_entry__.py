@@ -303,7 +303,11 @@ FROM events WHERE event_type <> 'error'
 
 
 def q_uri_template_encoding(spark, sf_dir):
-    """T1: percent-encoding in simple expansion ({c_name} has '#' and spaces)."""
+    """T1: percent-encoding in simple expansion ({c_name} has '#' and
+    spaces), plus the RFC 6570 prefix modifier ({c_mktsegment:4} truncates
+    before encoding) and explode modifier ({c_name*} — identical to simple
+    for string-valued row-record vars) through a virtual column's valueUrl
+    (ref convertor.ts:1225-1232 uses full parseTemplate().expand)."""
     desc = {
         "url": "urn:cust",
         "tableSchema": {
@@ -311,6 +315,9 @@ def q_uri_template_encoding(spark, sf_dir):
             "columns": [
                 {"name": "c_name", "suppressOutput": True},
                 {"name": "c_mktsegment", "propertyUrl": "urn:cust#segment"},
+                {"name": "seg_link", "virtual": True,
+                 "propertyUrl": "urn:cust#segShort",
+                 "valueUrl": "urn:seg:{c_mktsegment:4}/{c_name*}"},
             ],
         },
     }
@@ -320,9 +327,17 @@ def q_uri_template_encoding(spark, sf_dir):
 
 
 SQL_URI_ENCODING = """
-SELECT 'urn:cust#cust-' || replace(replace(c_name, '#', '%23'), ' ', '%20') AS subj,
+WITH enc AS (
+  SELECT replace(replace(c_name, '#', '%23'), ' ', '%20') AS name_enc,
+         c_mktsegment FROM customer)
+SELECT 'urn:cust#cust-' || name_enc AS subj,
        'urn:cust#segment' AS pred, c_mktsegment AS obj_lex
-FROM customer
+FROM enc
+UNION ALL
+SELECT 'urn:cust#cust-' || name_enc,
+       'urn:cust#segShort',
+       'urn:seg:' || substr(c_mktsegment, 1, 4) || '/' || name_enc
+FROM enc
 """
 
 

@@ -10,22 +10,50 @@ Here the template is compiled ONCE at plan-build time into a ``F.concat`` of
 literal segments and per-variable encoded column references — the expansion
 runs JVM-side inside whole-stage codegen, no Python in the row path.
 
-Supported operator subset (covers the CSVW test corpus): simple ``{var}``
-(percent-encode reserved chars), ``{+var}`` (reserved pass-through),
-``{#var}`` (fragment, reserved pass-through). Prefix/explode modifiers and
-multi-variable lists expand as comma-joined simple values.
+Supported RFC 6570 surface (covers the CSVW test corpus and the reference's
+full ``parseTemplate().expand`` for string-valued row records,
+convertor.ts:1225-1232): operators ``{var} {+var} {#var} {.var} {/var}
+{;var} {?var} {&var}``, multi-variable lists, the **prefix modifier**
+``{var:3}`` (truncate the value before encoding) and the **explode
+modifier** ``{list*}`` (for the string-valued variables a CSVW row record
+carries, explode expands identically to the simple form — RFC 6570 §3.2.1:
+explode only changes composite-value joining). Undefined variables
+contribute nothing: no separator, and the operator's first-character only
+appears when at least one variable of the expression is defined.
 """
 
 from __future__ import annotations
 
 import re
 from collections.abc import Mapping
+from typing import NamedTuple
 
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _EXPR_RE = re.compile(r"\{([+#./;?&]?)([^}]+)\}")
+
+
+class VarSpec(NamedTuple):
+    """One varspec of an expression: name, prefix length (``{var:3}``),
+    explode flag (``{list*}``)."""
+    name: str
+    maxlen: int | None
+    explode: bool
+
+
+#: operator → (first_char, separator, named, reserved_ok)  — RFC 6570 §2.2
+_OPS = {
+    "": ("", ",", False, False),
+    "+": ("", ",", False, True),
+    "#": ("#", ",", False, True),
+    ".": (".", ".", False, False),
+    "/": ("/", "/", False, False),
+    ";": (";", ";", True, False),
+    "?": ("?", "&", True, False),
+    "&": ("&", "&", True, False),
+}
 
 
 def pct_encode(col: Column) -> Column:
@@ -54,16 +82,21 @@ def _encode_reserved_ok(col: Column) -> Column:
     return out
 
 
-def parse_template(template: str) -> list[tuple[str, str, list[str]]]:
-    """Split a template into [('lit', text, []) | ('expr', op, [vars])]."""
-    parts: list[tuple[str, str, list[str]]] = []
+def parse_template(template: str) -> list[tuple[str, str, list[VarSpec]]]:
+    """Split a template into [('lit', text, []) | ('expr', op, [VarSpec])]."""
+    parts: list[tuple[str, str, list[VarSpec]]] = []
     pos = 0
     for m in _EXPR_RE.finditer(template):
         if m.start() > pos:
             parts.append(("lit", template[pos:m.start()], []))
-        op = m.group(1)
-        varnames = [v.split(":")[0].rstrip("*") for v in m.group(2).split(",")]
-        parts.append(("expr", op, varnames))
+        specs = []
+        for v in m.group(2).split(","):
+            explode = v.endswith("*")
+            v = v.rstrip("*")
+            name, _, ml = v.partition(":")
+            specs.append(VarSpec(name, int(ml) if ml.isdigit() else None,
+                                 explode))
+        parts.append(("expr", m.group(1), specs))
         pos = m.end()
     if pos < len(template):
         parts.append(("lit", template[pos:], []))
@@ -71,7 +104,8 @@ def parse_template(template: str) -> list[tuple[str, str, list[str]]]:
 
 
 def variables(template: str) -> set[str]:
-    return {v for kind, _, vs in parse_template(template) if kind == "expr" for v in vs}
+    return {s.name for kind, _, vs in parse_template(template)
+            if kind == "expr" for s in vs}
 
 
 def compile_template(template: str, row_record: Mapping[str, Column],
@@ -96,21 +130,33 @@ def compile_template(template: str, row_record: Mapping[str, Column],
         if kind == "lit":
             cols.append(F.lit(op))
             continue
-        first = True
-        for v in vs:
-            if not first:
-                cols.append(F.lit(","))
-            first = False
-            val = row_record.get(v)
-            if val is None:
-                continue  # undefined variable → empty expansion
-            sval = F.coalesce(val.cast("string"), F.lit(""))
-            if op == "+":
-                cols.append(_encode_reserved_ok(sval))
-            elif op == "#":
-                cols.append(F.concat(F.lit("#"), _encode_reserved_ok(sval)))
+        first_char, sep, named, reserved_ok = _OPS[op]
+        enc = _encode_reserved_ok if reserved_ok else pct_encode
+        defined = [s for s in vs if s.name in row_record]
+        if not defined:
+            continue  # all-undefined expression → nothing, not even first
+        if first_char:
+            cols.append(F.lit(first_char))
+        for i, s in enumerate(defined):
+            if i:
+                cols.append(F.lit(sep))
+            sval = F.coalesce(row_record[s.name].cast("string"), F.lit(""))
+            if s.maxlen is not None:
+                # prefix modifier truncates the VALUE before encoding
+                sval = F.substring(sval, 1, s.maxlen)
+            ev = enc(sval)
+            if named:
+                # {;x}: bare name when value empty; {?x}/{&x}: 'name='
+                ifemp = "" if op == ";" else "="
+                cols.append(F.concat(
+                    F.lit(s.name),
+                    F.when(sval == "", F.lit(ifemp))
+                    .otherwise(F.concat(F.lit("="), ev))))
             else:
-                cols.append(pct_encode(sval))
+                # explode on a string value == simple expansion (RFC 6570
+                # §3.2.1 — explode only changes composite-value joining,
+                # and CSVW row records are strings)
+                cols.append(ev)
     out = F.concat(*cols) if cols else F.lit("")
     if base and not re.match(r"^[A-Za-z][\w+.-]*:", template):
         # RFC 3986 resolution against base, decided on the *expanded* value:

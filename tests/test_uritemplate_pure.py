@@ -58,3 +58,36 @@ def test_template_iris_value_full():
     from csvw_rdf_convertor_spark.functions.uritemplate import template_iris_value
     out = template_iris_value("http://xn--mnchen-3ya.example/a%20b?x=1%2F2")
     assert out == "http://münchen.example/a b?x=1%2F2"
+
+
+def test_parse_template_varspec_modifiers():
+    (_, op, specs), = [p for p in parse_template("{x:3,y*,z}") if p[0] == "expr"]
+    assert op == ""
+    assert [(s.name, s.maxlen, s.explode) for s in specs] == [
+        ("x", 3, False), ("y", None, True), ("z", None, False)]
+
+
+def test_compile_template_modifiers_and_ops(spark):
+    from pyspark.sql import functions as F
+    from csvw_rdf_convertor_spark.functions.uritemplate import compile_template
+    df = spark.createDataFrame(
+        [("semi cond", "BUILDING", None)], "a string, b string, c string")
+    rec = {"a": F.col("a"), "b": F.col("b"), "c": F.col("c")}
+    out = df.select(
+        compile_template("urn:{b:4}/{a*}", rec).alias("pfx_explode"),
+        compile_template("x{.a:4}", rec).alias("dot"),
+        compile_template("/base{/b:5,a}", rec).alias("path"),
+        compile_template("q{?a,b}", rec).alias("query"),
+        compile_template("s{;b}", rec).alias("semi"),
+        compile_template("n{?missing}", rec).alias("undef"),
+        compile_template("m{#missing,b}", rec).alias("partial"),
+    ).collect()[0]
+    assert out.pfx_explode == "urn:BUIL/semi%20cond"
+    assert out.dot == "x.semi"
+    assert out.path == "/base/BUILD/semi%20cond"
+    assert out.query == "q?a=semi%20cond&b=BUILDING"
+    assert out.semi == "s;b=BUILDING"
+    # all vars undefined -> no first char at all
+    assert out.undef == "n"
+    # undefined first var contributes neither value nor separator
+    assert out.partial == "m#BUILDING"
