@@ -1106,36 +1106,64 @@ SELECT comp, COUNT(*) AS "size" FROM lbl GROUP BY comp
 
 
 def q_a5_labels(spark, sf_dir):
-    """A5: label resolution with predicate priority (skos:prefLabel beats
-    rdfs:label) over a triples DF built from nation+region."""
+    """A5: label resolution — preferred-LANGUAGE priority (en) before
+    predicate priority (skos:prefLabel beats rdfs:label), language-less
+    labels preferred within the fallback predicate
+    (schema-inferrer.ts:303-353 getLabel).
+
+    Fixture: nations carry skos@de + rdfs@en + rdfs(no lang) — the @en
+    rdfs:label must win despite skos's higher predicate priority; regions
+    carry skos@fr + rdfs(no lang) — no @en match, so the sticky-offlang
+    fallback keeps skos's @fr label (predicate priority)."""
     skos = "http://www.w3.org/2004/02/skos/core#prefLabel"
     rdfs = "http://www.w3.org/2000/01/rdf-schema#label"
     nation = _p(spark, sf_dir, "nation")
     region = _p(spark, sf_dir, "region")
-    t = (nation.select(F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("subj"),
-                       F.lit(skos).alias("pred"), F.col("n_name").alias("obj_lex"))
+    nsubj = F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("subj")
+    rsubj = F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("subj")
+    t = (nation.select(nsubj, F.lit(skos).alias("pred"),
+                       F.col("n_name").alias("obj_lex"),
+                       F.lit("de").alias("obj_lang"))
          .unionByName(nation.select(
-             F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("subj"),
-             F.lit(rdfs).alias("pred"),
-             F.concat(F.lit("fallback-"), F.col("n_name")).alias("obj_lex")))
+             nsubj, F.lit(rdfs).alias("pred"),
+             F.concat(F.lit("en-"), F.col("n_name")).alias("obj_lex"),
+             F.lit("en").alias("obj_lang")))
+         .unionByName(nation.select(
+             nsubj, F.lit(rdfs).alias("pred"),
+             F.concat(F.lit("fallback-"), F.col("n_name")).alias("obj_lex"),
+             F.lit("").alias("obj_lang")))
          .unionByName(region.select(
-             F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("subj"),
-             F.lit(rdfs).alias("pred"), F.col("r_name").alias("obj_lex"))))
-    return rdf2csvw.labels(t.withColumn("obj_kind", F.lit("literal"))
-                           .withColumn("obj_dtype", F.lit(""))
-                           .withColumn("obj_lang", F.lit(""))
-                           .withColumn("graph", F.lit("")))
+             rsubj, F.lit(skos).alias("pred"), F.col("r_name").alias("obj_lex"),
+             F.lit("fr").alias("obj_lang")))
+         .unionByName(region.select(
+             rsubj, F.lit(rdfs).alias("pred"),
+             F.concat(F.lit("plain-"), F.col("r_name")).alias("obj_lex"),
+             F.lit("").alias("obj_lang"))))
+    return rdf2csvw.labels(
+        t.withColumn("obj_kind", F.lit("literal"))
+         .withColumn("obj_dtype", F.lit(""))
+         .withColumn("graph", F.lit("")),
+        pref_lang="en")
 
 
 SQL_A5_LABELS = """
 WITH t AS (
-  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS subj, 0 AS pri, n_name AS obj_lex FROM nation
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS subj, 0 AS pri,
+         n_name AS obj_lex, 'de' AS lang FROM nation
   UNION ALL
-  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 1, 'fallback-' || n_name FROM nation
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 1, 'en-' || n_name, 'en' FROM nation
   UNION ALL
-  SELECT 'r' || CAST(r_regionkey AS VARCHAR), 1, r_name FROM region),
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 1, 'fallback-' || n_name, '' FROM nation
+  UNION ALL
+  SELECT 'r' || CAST(r_regionkey AS VARCHAR), 0, r_name, 'fr' FROM region
+  UNION ALL
+  SELECT 'r' || CAST(r_regionkey AS VARCHAR), 1, 'plain-' || r_name, '' FROM region),
 ranked AS (SELECT subj, obj_lex,
-                  row_number() OVER (PARTITION BY subj ORDER BY pri, obj_lex) rk
+                  row_number() OVER (PARTITION BY subj ORDER BY
+                    CASE WHEN lang = 'en' OR lang LIKE 'en-%' THEN 0 ELSE 1 END,
+                    pri,
+                    CASE WHEN lang = '' THEN 0 ELSE 1 END,
+                    obj_lex) rk
            FROM t)
 SELECT subj, obj_lex AS label FROM ranked WHERE rk = 1
 """

@@ -126,16 +126,34 @@ def common_uri_template(triples: DataFrame) -> DataFrame:
             .agg(F.min("obj_lex").alias("lo"), F.max("obj_lex").alias("hi")))
 
 
-def labels(triples: DataFrame) -> DataFrame:
-    """A5: best label per subject with predicate-priority ranking
-    (schema-inferrer.ts:303-353) — a groupBy + row_number window."""
+def labels(triples: DataFrame, pref_lang: str | None = None) -> DataFrame:
+    """A5: best label per subject — preferred-LANGUAGE priority before
+    predicate priority (schema-inferrer.ts:303-353 ``getLabel``):
+
+    1. a label whose @lang equals ``pref_lang`` (or starts with
+       ``pref_lang + '-'``) wins outright, skos:prefLabel before rdfs:label;
+    2. otherwise the highest-priority predicate that has ANY label supplies
+       the fallback, preferring its language-less labels (the reference's
+       sticky ``offlangLabel``: a later predicate never overrides it).
+
+    The reference iterates store order; ties are canonicalized here to
+    lexicographic value order (deterministic/retry-stable). One window:
+    ORDER BY (lang_match, pred_priority, has_language, value)."""
     from pyspark.sql import Window
     pri = F.when(F.col("pred") == LABEL_PREDS[0], 0).when(
         F.col("pred") == LABEL_PREDS[1], 1).otherwise(2)
+    if pref_lang:
+        lang_rank = F.when(
+            (F.col("obj_lang") == pref_lang)
+            | F.col("obj_lang").startswith(pref_lang + "-"), 0).otherwise(1)
+    else:
+        lang_rank = F.lit(1)
+    has_lang = F.when(F.col("obj_lang") == "", 0).otherwise(1)
     lab = (triples.where(F.col("pred").isin(*LABEL_PREDS))
-           .withColumn("pri", pri)
            .withColumn("rk", F.row_number().over(
-               Window.partitionBy("subj").orderBy("pri", "obj_lex"))))
+               Window.partitionBy("subj").orderBy(
+                   lang_rank.asc(), pri.asc(), has_lang.asc(),
+                   F.col("obj_lex").asc()))))
     return lab.where(F.col("rk") == 1).select("subj", F.col("obj_lex").alias("label"))
 
 
