@@ -1169,6 +1169,61 @@ SELECT subj, obj_lex AS label FROM ranked WHERE rk = 1
 """
 
 
+CHAIN_DESC = {
+    "url": "urn:nr",
+    "tableSchema": {
+        "aboutUrl": "urn:nation#{n_nationkey}",
+        "columns": [
+            {"name": "n_name", "propertyUrl": "urn:n#name", "required": True},
+            {"name": "n_regionkey", "propertyUrl": "urn:n#region",
+             "valueUrl": "urn:region#{n_regionkey}"},
+            # object-subject chain: aboutUrl == previous column's valueUrl,
+            # so the compiler assigns them ONE variable (t1.obj == t2.subj)
+            {"name": "r_name", "aboutUrl": "urn:region#{n_regionkey}",
+             "propertyUrl": "urn:r#name"},
+        ],
+    },
+}
+
+
+def q_rdf2csvw_chain(spark, sf_dir):
+    """J1 object-subject chains: a PROVIDED descriptor is compiled into
+    variable-shared triple patterns (create-query.ts:338-510, var
+    assignment :83-98, recursion :470-501) and executed as DataFrame joins
+    — nation rows chain to region rows through the n_regionkey valueUrl,
+    with the link IRI trimmed back to the key cell value."""
+    nation = _p(spark, sf_dir, "nation")
+    region = _p(spark, sf_dir, "region")
+    nsub = F.concat(F.lit("urn:nation#"), F.col("n_nationkey").cast("string"))
+    rsub = F.concat(F.lit("urn:region#"), F.col("r_regionkey").cast("string"))
+    triples = (nation.select(nsub.alias("subj"), F.lit("urn:n#name").alias("pred"),
+                             F.col("n_name").alias("obj_lex"),
+                             F.lit("literal").alias("obj_kind"))
+               .unionByName(nation.select(
+                   nsub.alias("subj"), F.lit("urn:n#region").alias("pred"),
+                   F.concat(F.lit("urn:region#"),
+                            F.col("n_regionkey").cast("string")).alias("obj_lex"),
+                   F.lit("iri").alias("obj_kind")))
+               .unionByName(region.select(
+                   rsub.alias("subj"), F.lit("urn:r#name").alias("pred"),
+                   F.col("r_name").alias("obj_lex"),
+                   F.lit("literal").alias("obj_kind")))
+               .withColumn("obj_dtype", F.lit(""))
+               .withColumn("obj_lang", F.lit(""))
+               .withColumn("graph", F.lit("")))
+    cols, roots = rdf2csvw.compile_table_query(
+        parse_descriptor(CHAIN_DESC).tables[0])
+    return rdf2csvw.match_table_query(triples, cols, roots)
+
+
+SQL_RDF2CSVW_CHAIN = """
+SELECT n.n_name AS n_name,
+       CAST(n.n_regionkey AS VARCHAR) AS n_regionkey,
+       coalesce(r.r_name, '') AS r_name
+FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
 def q_rdf2csvw_roundtrip(spark, sf_dir):
     """Inverse direction end-to-end: forward nation triples → BGP equi-join
     matching (J1–J3) → reconstructed rows."""
@@ -1477,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inverse direction + battery extensions
         "csvw2rdf_header_nation": q_csvw2rdf_header_nation,
         "a5_labels": q_a5_labels,
+        "rdf2csvw_chain": q_rdf2csvw_chain,
         "rdf2csvw_roundtrip": q_rdf2csvw_roundtrip,
         "rdf2csvw_format_roundtrip": q_rdf2csvw_format_roundtrip,
         "p5_numeric_battery": q_p5_numeric_battery,
@@ -1526,6 +1582,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": SQL_MULTIMODAL,
         "csvw2rdf_header_nation": SQL_HEADER_NATION,
         "a5_labels": SQL_A5_LABELS,
+        "rdf2csvw_chain": SQL_RDF2CSVW_CHAIN,
         "rdf2csvw_roundtrip": SQL_RDF2CSVW_ROUNDTRIP,
         "rdf2csvw_format_roundtrip": SQL_RDF2CSVW_FORMAT,
         "p5_numeric_battery": SQL_P5_BATTERY,

@@ -11,6 +11,7 @@ unnecessary because full-relation joins subsume it.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -304,3 +305,249 @@ def match_patterns(triples: DataFrame, patterns: list[TriplePattern]) -> DataFra
             c = F.coalesce(c, F.lit(subst))
         exprs.append(c.alias(p.name))
     return out.select("subj", *exprs)
+
+
+# --- descriptor→pattern compiler (J1 object-subject chains) -------------------
+
+@dataclass(frozen=True)
+class PatternNode:
+    """One compiled triple pattern of a descriptor-provided table query
+    (create-query.ts:338-510 createTriplePatterns). ``children`` are the
+    patterns the reference emits recursively inside this pattern's group —
+    columns whose aboutUrl equals this column's valueUrl (object-subject
+    chain, recursion :470-501) or, for rdf:type columns, siblings sharing
+    the aboutUrl."""
+    subj_var: str
+    pred: str
+    obj_var: str | None            # None when the object is a fixed IRI
+    obj_iri: str | None = None     # var-free valueUrl on an rdf:type column
+    required: bool = False
+    subj_regex: str | None = None  # anchored aboutUrl-template filter
+    obj_regex: str | None = None   # anchored valueUrl-template filter
+    children: tuple["PatternNode", ...] = ()
+
+
+@dataclass(frozen=True)
+class CompiledColumn:
+    """Output column of a compiled table query: the query variable its value
+    binds to (create-query.ts:83-98 — rdf:type columns bind the SUBJECT
+    variable; a column with valueUrl binds the variable assigned to that
+    template, so two columns chained via valueUrl==aboutUrl SHARE one
+    variable) plus the formatting fields of the output pipeline."""
+    name: str
+    var: str
+    virtual: bool = False
+    valueUrl: str | None = None
+    datatype: object | None = None
+    null: tuple[str, ...] | None = None
+    is_type: bool = False
+
+
+_SPECIALS = ("_column", "_sourceColumn", "_name")
+
+
+def _expand_specials(template: str, index: int, name: str,
+                     wildcard: bool = False) -> str:
+    """Driver-side expansion of a template over ONLY the per-column specials
+    (_column/_sourceColumn/_name — the reference's expand argument at
+    create-query.ts:356-366); other variables become '.*' when ``wildcard``
+    (FILTER REGEX construction, :437-467) or '' (plain expansion)."""
+    from ..functions.uritemplate import parse_template
+    vals = {"_column": str(index + 1), "_sourceColumn": str(index + 1),
+            "_name": name}
+    out = []
+    for kind, op, specs in parse_template(template):
+        if kind == "lit":
+            out.append(re.escape(op) if wildcard else op)
+            continue
+        for s in specs:
+            if s.name in vals:
+                v = vals[s.name]
+                out.append(re.escape(v) if wildcard else v)
+            elif wildcard:
+                out.append(".*")
+    return "".join(out)
+
+
+def compile_table_query(table) -> tuple[list[CompiledColumn], list[PatternNode]]:
+    """Compile a provided CSVW table descriptor into variable-shared triple
+    patterns (create-query.ts:39-156 + 338-510).
+
+    Variable assignment (:83-98): each distinct aboutUrl/valueUrl TEMPLATE
+    gets one variable; a column whose valueUrl is another column's aboutUrl
+    therefore joins ``t1.obj == t2.subj`` — the object-subject chain.
+    Returns (output columns, top-level pattern roots). Top-level = columns
+    not referenced by another column's chain (or rdf:type group), plus
+    primary-key columns (:107-129).
+    """
+    from ..spec import expand_iri
+    cols = table.columns
+    base = table.base
+    query_vars: dict[str, str] = {}
+    counter = [0]
+
+    def var_for(url: str | None) -> str:
+        key = url or ""
+        if key not in query_vars:
+            query_vars[key] = f"_{counter[0]}"
+            counter[0] += 1
+        return query_vars[key]
+
+    def pred_of(i: int) -> str:
+        c = cols[i]
+        if c.propertyUrl:
+            return expand_iri(
+                _expand_specials(c.propertyUrl, i, c.name), base)
+        return f"{table.url}#{c.name}"
+
+    col_vars: list[str] = []
+    for i, c in enumerate(cols):
+        var_for(c.aboutUrl)
+        if c.valueUrl:
+            var_for(c.valueUrl)
+        if pred_of(i) == RDF_TYPE:
+            col_vars.append(query_vars[c.aboutUrl or ""])
+        elif c.valueUrl:
+            col_vars.append(query_vars[c.valueUrl])
+        else:
+            col_vars.append(f"_{counter[0]}")
+            counter[0] += 1
+
+    def template_regex(template: str | None, i: int) -> str | None:
+        if not template:
+            return None
+        rx = _expand_specials(expand_iri(template, base), i, cols[i].name,
+                              wildcard=True)
+        # reference anchors end-only: FILTER REGEX(STR(?v), "url$")
+        return None if rx == ".*" else rx + "$"
+
+    def build(i: int, stack: frozenset[int]) -> PatternNode:
+        c = cols[i]
+        pred = pred_of(i)
+        is_type = pred == RDF_TYPE
+        subj_var = query_vars[c.aboutUrl or ""]
+        obj_var: str | None = col_vars[i]
+        obj_iri = None
+        if is_type and c.valueUrl and not (
+                set(_tpl_vars(c.valueUrl)) - set(_SPECIALS)):
+            obj_iri = expand_iri(
+                _expand_specials(c.valueUrl, i, c.name), base)
+            obj_var = None
+        children: list[PatternNode] = []
+        stack = stack | {i}
+        if is_type and c.aboutUrl:
+            for j, o in enumerate(cols):
+                if j not in stack and o.aboutUrl == c.aboutUrl:
+                    children.append(build(j, stack))
+        elif c.valueUrl:
+            type_col = next(
+                (j for j, o in enumerate(cols)
+                 if pred_of(j) == RDF_TYPE and o.aboutUrl == c.valueUrl),
+                None)
+            for j, o in enumerate(cols):
+                if j in stack or j == i or o.aboutUrl != c.valueUrl:
+                    continue
+                # when a type column owns the chained group, recurse only
+                # through it (avoids emitting siblings twice, :488-497)
+                if type_col is None or pred_of(j) == RDF_TYPE:
+                    children.append(build(j, stack))
+        return PatternNode(
+            subj_var=subj_var, pred=pred, obj_var=obj_var, obj_iri=obj_iri,
+            required=c.required,
+            subj_regex=template_regex(c.aboutUrl, i),
+            obj_regex=template_regex(c.valueUrl, i) if obj_var else None,
+            children=tuple(children))
+
+    roots: list[PatternNode] = []
+    out_cols: list[CompiledColumn] = []
+    for i, c in enumerate(cols):
+        referenced = any(
+            (o.aboutUrl == c.aboutUrl if pred_of(j) == RDF_TYPE
+             else o.valueUrl is not None and o.valueUrl == c.aboutUrl)
+            for j, o in enumerate(cols) if j != i)
+        if not referenced or c.name in table.primaryKey:
+            roots.append(build(i, frozenset()))
+        if not c.virtual:
+            out_cols.append(CompiledColumn(
+                name=c.name, var=col_vars[i], virtual=c.virtual,
+                valueUrl=c.valueUrl, datatype=c.datatype,
+                null=tuple(c.null) if c.null else None,
+                is_type=pred_of(i) == RDF_TYPE))
+    return out_cols, roots
+
+
+def _tpl_vars(template: str) -> set[str]:
+    from ..functions.uritemplate import variables
+    return variables(template)
+
+
+def match_table_query(triples: DataFrame, out_cols: list[CompiledColumn],
+                      roots: list[PatternNode]) -> DataFrame:
+    """Execute a compiled table query as DataFrame joins.
+
+    Each PatternNode becomes a filtered slice of the triple store projected
+    onto its variables; chained children join on the SHARED variable
+    (``t1.obj == t2.subj`` — same columns because the compiler assigned one
+    variable per template). OPTIONAL (non-required) nodes become left joins
+    of their whole nested group — matching SPARQL group semantics, where an
+    OPTIONAL binds only if every pattern inside it (incl. required
+    children) matches. Required roots join first (the reference prepends
+    them, create-query.ts:121-127); an all-optional query is seeded with
+    the distinct subjects of the root patterns (J3, :133-137).
+    """
+    def frame(node: PatternNode) -> DataFrame:
+        f = triples.where(F.col("pred") == node.pred)
+        if node.subj_regex:
+            f = f.where(F.col("subj").rlike(node.subj_regex))
+        sel = [F.col("subj").alias(node.subj_var)]
+        if node.obj_iri is not None:
+            f = f.where((F.col("obj_kind") == "iri")
+                        & (F.col("obj_lex") == node.obj_iri))
+        elif node.obj_var and node.obj_var != node.subj_var:
+            if node.obj_regex:
+                f = f.where(F.col("obj_lex").rlike(node.obj_regex))
+            sel.append(F.col("obj_lex").alias(node.obj_var))
+        f = f.select(*sel)
+        for ch in node.children:
+            cf = frame(ch)
+            shared = sorted(set(f.columns) & set(cf.columns))
+            f = f.join(cf, shared, "inner" if ch.required else "left")
+        return f
+
+    ordered = [r for r in roots if r.required] + \
+        [r for r in roots if not r.required]
+    out: DataFrame | None = None
+    if not any(r.required for r in roots):
+        # all-optional seed: subjects that match ANY top-level pattern
+        seeds = [frame(PatternNode(subj_var=r.subj_var, pred=r.pred,
+                                   obj_var=None, obj_iri=None))
+                 .select(r.subj_var) for r in roots]
+        out = seeds[0]
+        for s in seeds[1:]:
+            if s.columns == out.columns:
+                out = out.unionByName(s)
+        out = out.distinct()
+    for r in ordered:
+        rf = frame(r)
+        if out is None:
+            out = rf
+        else:
+            shared = sorted(set(out.columns) & set(rf.columns))
+            how = "inner" if r.required else "left"
+            out = out.join(rf, shared, how) if shared else out.crossJoin(rf)
+    assert out is not None
+
+    exprs = []
+    for c in out_cols:
+        col = F.col(c.var)
+        p = TriplePattern(c.name, RDF_TYPE if c.is_type else "",
+                          valueUrl=c.valueUrl, datatype=c.datatype,
+                          null=c.null,
+                          table_about=None)
+        formatted = c.valueUrl or c.datatype is not None
+        if formatted:
+            col = _format_binding(p, col)
+        if c.null is not None or formatted:
+            col = F.coalesce(col, F.lit(c.null[0] if c.null else ""))
+        exprs.append(col.alias(c.name))
+    return out.select(*exprs)

@@ -1,0 +1,122 @@
+"""Descriptor→pattern compiler with object-subject chains (J1).
+
+Reference: rdf2csvw/create-query.ts — var assignment :83-98 (one variable
+per distinct aboutUrl/valueUrl template ⇒ chained columns share it),
+recursion :470-501 (columns whose aboutUrl equals another column's valueUrl
+are matched inside that column's group).
+"""
+
+from pyspark.sql import functions as F
+
+from csvw_rdf_convertor_spark.plans import rdf2csvw
+from csvw_rdf_convertor_spark.spec import parse_descriptor
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+CHAIN_DESC = {
+    "url": "urn:nr",
+    "tableSchema": {
+        "aboutUrl": "urn:nation#{n_nationkey}",
+        "columns": [
+            {"name": "n_name", "propertyUrl": "urn:n#name", "required": True},
+            # FK column: its own name is the template variable, so the IRI
+            # trims back to the key cell value (url-trimming.ts:20-44)
+            {"name": "n_regionkey", "propertyUrl": "urn:n#region",
+             "valueUrl": "urn:region#{n_regionkey}"},
+            # chained: this column's aboutUrl IS the previous valueUrl
+            {"name": "r_name", "aboutUrl": "urn:region#{n_regionkey}",
+             "propertyUrl": "urn:r#name"},
+        ],
+    },
+}
+
+
+def _triples(spark):
+    rows = [
+        # nations: subj, name, region link
+        ("urn:nation#1", "urn:n#name", "ALGERIA", "literal"),
+        ("urn:nation#1", "urn:n#region", "urn:region#0", "iri"),
+        ("urn:nation#2", "urn:n#name", "BRAZIL", "literal"),
+        ("urn:nation#2", "urn:n#region", "urn:region#1", "iri"),
+        # nation with a dangling region (no region triples)
+        ("urn:nation#3", "urn:n#name", "ATLANTIS", "literal"),
+        ("urn:nation#3", "urn:n#region", "urn:region#9", "iri"),
+        # regions
+        ("urn:region#0", "urn:r#name", "AFRICA", "literal"),
+        ("urn:region#1", "urn:r#name", "AMERICA", "literal"),
+        # noise: similar predicate on a non-template subject
+        ("urn:other#x", "urn:n#name", "NOPE-WRONG-SUBJ", "literal"),
+    ]
+    return (spark.createDataFrame(
+        rows, "subj string, pred string, obj_lex string, obj_kind string")
+        .withColumn("obj_dtype", F.lit(""))
+        .withColumn("obj_lang", F.lit(""))
+        .withColumn("graph", F.lit("")))
+
+
+def test_compiler_shares_variable_across_chain():
+    table = parse_descriptor(CHAIN_DESC).tables[0]
+    cols, roots = rdf2csvw.compile_table_query(table)
+    by_name = {c.name: c for c in cols}
+    # n_region's value variable == r_name's subject variable (the chain)
+    region_var = by_name["n_regionkey"].var
+    root_by_pred = {r.pred: r for r in roots}
+    # r_name is NOT top-level: it is referenced via the chain
+    assert "urn:r#name" not in root_by_pred
+    chain_root = root_by_pred["urn:n#region"]
+    assert chain_root.obj_var == region_var
+    assert len(chain_root.children) == 1
+    assert chain_root.children[0].pred == "urn:r#name"
+    assert chain_root.children[0].subj_var == region_var
+
+
+def test_chain_query_joins_object_to_subject(spark):
+    table = parse_descriptor(CHAIN_DESC).tables[0]
+    cols, roots = rdf2csvw.compile_table_query(table)
+    out = rdf2csvw.match_table_query(_triples(spark), cols, roots)
+    rows = {(r.n_name, r.n_regionkey, r.r_name) for r in out.collect()}
+    # valueUrl trimming turns 'urn:region#0' back into the cell value '0';
+    # the dangling region chain (OPTIONAL group) leaves r_name at null->''
+    assert rows == {
+        ("ALGERIA", "0", "AFRICA"),
+        ("BRAZIL", "1", "AMERICA"),
+        ("ATLANTIS", "9", ""),
+    }
+
+
+def test_subject_template_regex_excludes_foreign_subjects(spark):
+    table = parse_descriptor(CHAIN_DESC).tables[0]
+    cols, roots = rdf2csvw.compile_table_query(table)
+    out = rdf2csvw.match_table_query(_triples(spark), cols, roots)
+    assert not [r for r in out.collect() if r.n_name == "NOPE-WRONG-SUBJ"]
+
+
+def test_type_column_group(spark):
+    desc = {
+        "url": "urn:t",
+        "tableSchema": {
+            "aboutUrl": "urn:item#{id}",
+            "columns": [
+                {"name": "subj", "propertyUrl": "rdf:type",
+                 "valueUrl": "urn:t#Item", "required": True},
+                {"name": "label", "propertyUrl": "urn:t#label"},
+            ],
+        },
+    }
+    table = parse_descriptor(desc).tables[0]
+    cols, roots = rdf2csvw.compile_table_query(table)
+    # the type column owns the group: label is matched inside it
+    assert len(roots) == 1 and roots[0].obj_iri == "urn:t#Item"
+    assert [c.pred for c in roots[0].children] == ["urn:t#label"]
+    t = (_triples(spark).sparkSession.createDataFrame(
+        [("urn:item#7", RDF_TYPE, "urn:t#Item", "iri"),
+         ("urn:item#7", "urn:t#label", "seven", "literal"),
+         ("urn:item#8", RDF_TYPE, "urn:t#Other", "iri"),
+         ("urn:item#8", "urn:t#label", "eight", "literal")],
+        "subj string, pred string, obj_lex string, obj_kind string")
+        .withColumn("obj_dtype", F.lit("")).withColumn("obj_lang", F.lit(""))
+        .withColumn("graph", F.lit("")))
+    out = rdf2csvw.match_table_query(t, cols, roots)
+    rows = {(r.subj, r.label) for r in out.collect()}
+    # type column outputs the SUBJECT variable; wrong-typed subjects excluded
+    assert rows == {("urn:item#7", "seven")}
