@@ -1,0 +1,274 @@
+"""JSON-LD-subset parser (S4 widening; reference loaders/parse.ts:23-41
+routes ``.jsonld`` inputs through the jsonld.js stack).
+
+Driver-side by design, like the Turtle parser (turtle_parse.py): the
+reference's ``.jsonld`` inputs are small fixture documents, and JSON-LD is
+a whole-document grammar (contexts scope lexically) — not a distributed-
+scan format. Big-data RDF ingest stays on the line-parallel NT/NQ path;
+this module closes the fixture/interop seam with NO new libraries.
+
+Subset covered (the flat/compact shapes the reference corpus uses):
+
+- inline ``@context``: prefix mappings, ``@vocab``, ``@base``, term
+  definitions with ``@id``, ``@type: @id``, ``@type: <datatype>``,
+  ``@language``, ``@container: @language`` (language maps) and
+  ``@reverse`` terms;
+- ``@context`` arrays; REMOTE context URLs resolve through the caller-
+  supplied ``resolver`` (tests inject file-backed overrides — the same
+  seam as ``sources/resolve.py``; without a resolver they raise, the
+  honest sandbox boundary);
+- node objects: ``@id``, ``@type`` (string or list), property values as
+  literals (string/number/boolean), ``{"@id": …}``, ``{"@value",
+  "@type", "@language"}``, arrays, nested node objects (emitted as their
+  own nodes + an edge triple), top-level ``@graph`` (named or default);
+- blank nodes: nodes without ``@id`` get DETERMINISTIC skolem ids derived
+  from their position path in the document (T9 — same bytes, same ids;
+  no counters that survive retries differently).
+
+Unsupported (raises ``ValueError``, never silently drops): ``@list``,
+``@index`` containers, ``@nest`` — absent from the target corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Callable
+
+from ..functions.terms import skolem_value
+from ..spec import RDF, XSD
+
+Triple7 = tuple[str, str, str, str, str, str, str]
+
+_KEYWORDS = {"@context", "@id", "@type", "@value", "@language", "@graph",
+             "@base", "@vocab", "@reverse", "@container", "@index", "@list",
+             "@nest", "@set"}
+_ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+class _Context:
+    def __init__(self) -> None:
+        self.terms: dict[str, dict] = {}
+        self.vocab: str = ""
+        self.base: str = ""
+
+    def merged(self, raw: Any, resolver) -> "_Context":
+        ctx = _Context()
+        ctx.terms = dict(self.terms)
+        ctx.vocab, ctx.base = self.vocab, self.base
+        for entry in raw if isinstance(raw, list) else [raw]:
+            if entry is None:
+                ctx = _Context()
+                continue
+            if isinstance(entry, str):
+                if resolver is None:
+                    raise NotImplementedError(
+                        f"remote @context {entry!r}: supply a resolver "
+                        "(sandbox has no network; tests inject file "
+                        "overrides, same seam as sources/resolve.py)")
+                ctx = ctx.merged(json.loads(resolver(entry)).get(
+                    "@context", {}), resolver)
+                continue
+            for term, defn in entry.items():
+                if term == "@vocab":
+                    ctx.vocab = defn
+                elif term == "@base":
+                    ctx.base = defn
+                elif term.startswith("@"):
+                    continue
+                elif isinstance(defn, str):
+                    ctx.terms[term] = {"@id": defn}
+                elif isinstance(defn, dict):
+                    ctx.terms[term] = defn
+        return ctx
+
+    def expand_iri(self, value: str, vocab: bool = False) -> str:
+        """Term → IRI: term definitions, prefix:suffix, @vocab/@base."""
+        if value in self.terms:
+            iri = self.terms[value].get("@id", value)
+            return iri if _ABS_IRI.match(iri) else self.expand_iri(iri, vocab)
+        if ":" in value:
+            prefix, suffix = value.split(":", 1)
+            if prefix in self.terms and not suffix.startswith("//"):
+                return self.terms[prefix].get("@id", prefix + ":") + suffix
+            if _ABS_IRI.match(value):
+                return value
+        if vocab and self.vocab:
+            return self.vocab + value
+        if not vocab and self.base:
+            return self.base + value
+        return value
+
+    def term_def(self, term: str) -> dict:
+        return self.terms.get(term, {})
+
+
+def _is_node_object(v: Any) -> bool:
+    return isinstance(v, dict) and "@value" not in v
+
+
+def _keyword_of(ctx: _Context, key: str) -> str | None:
+    """Resolve keyword ALIASES (json-ld §4.1.4): a term whose definition is
+    a keyword ('iri': '@id', 'typ': '@type') acts as that keyword."""
+    if key.startswith("@"):
+        return key if key in _KEYWORDS else None
+    alias = ctx.terms.get(key, {}).get("@id")
+    return alias if alias in ("@id", "@type", "@graph") else None
+
+
+def jsonld_to_triples(doc: Any, *, base: str = "",
+                      resolver: Callable[[str], str] | None = None
+                      ) -> list[Triple7]:
+    """Flat/compact JSON-LD document → list of 7-tuples (TRIPLE_COLS
+    shape, same contract as ``parse_turtle``)."""
+    out: list[Triple7] = []
+    root_ctx = _Context()
+    root_ctx.base = base
+    _walk_top(doc, root_ctx, resolver, out)
+    return out
+
+
+def _walk_top(doc: Any, ctx: _Context, resolver, out: list[Triple7],
+              graph: str = "") -> None:
+    if isinstance(doc, list):
+        for i, node in enumerate(doc):
+            _node(node, ctx, resolver, out, graph, path=f"[{i}]")
+        return
+    if not isinstance(doc, dict):
+        raise ValueError(f"unsupported top-level JSON-LD value: {type(doc)}")
+    if "@context" in doc:
+        ctx = ctx.merged(doc["@context"], resolver)
+    if "@graph" in doc:
+        gid = ""
+        id_key = next((k for k in doc if _keyword_of(ctx, k) == "@id"), None)
+        if id_key is not None:
+            gid = ctx.expand_iri(doc[id_key])
+        for i, node in enumerate(doc["@graph"]):
+            _node(node, ctx, resolver, out, gid, path=f"g[{i}]")
+        return
+    _node(doc, ctx, resolver, out, graph, path="$")
+
+
+def _node(node: dict, ctx: _Context, resolver, out: list[Triple7],
+          graph: str, path: str) -> tuple[str, str]:
+    """Emit a node object's triples; returns (subject term, kind)."""
+    if not isinstance(node, dict):
+        raise ValueError(f"expected node object at {path}, got {node!r}")
+    if "@context" in node:
+        ctx = ctx.merged(node["@context"], resolver)
+    if "@list" in node or "@index" in node or "@nest" in node:
+        raise ValueError(f"unsupported JSON-LD feature at {path} "
+                         "(@list/@index/@nest)")
+    id_key = next((k for k in node if _keyword_of(ctx, k) == "@id"), None)
+    if id_key is not None:
+        subj = ctx.expand_iri(node[id_key])
+        subj_kind = "iri"
+    else:
+        subj = skolem_value("jsonld-bnode", path)
+        subj_kind = "bnode"
+
+    def emit(pred, lex, kind, dtype="", lang=""):
+        out.append((subj, pred, lex, kind, dtype, lang, graph))
+
+    for key, raw in node.items():
+        kw = _keyword_of(ctx, key)
+        if key == "@context" or kw == "@id":
+            continue
+        if kw == "@type":
+            for t in raw if isinstance(raw, list) else [raw]:
+                emit(RDF + "type", ctx.expand_iri(t, vocab=True), "iri")
+            continue
+        if key == "@reverse":
+            for rkey, rval in raw.items():
+                pred = ctx.expand_iri(rkey, vocab=True)
+                for i, v in enumerate(
+                        rval if isinstance(rval, list) else [rval]):
+                    osubj, _k = _node(v, ctx, resolver, out, graph,
+                                      f"{path}.@reverse.{rkey}[{i}]")
+                    out.append((osubj, pred, subj,
+                                subj_kind, "", "", graph))
+            continue
+        if key.startswith("@"):
+            raise ValueError(f"unsupported keyword {key} at {path}")
+
+        tdef = ctx.term_def(key)
+        if "@reverse" in tdef:
+            pred = ctx.expand_iri(tdef["@reverse"], vocab=True)
+            for i, v in enumerate(raw if isinstance(raw, list) else [raw]):
+                osubj, _k = _node(v, ctx, resolver, out, graph,
+                                  f"{path}.{key}[{i}]")
+                out.append((osubj, pred, subj, subj_kind, "", "", graph))
+            continue
+        pred = ctx.expand_iri(key, vocab=True)
+        if tdef.get("@container") == "@language" and isinstance(raw, dict):
+            for lang, lval in raw.items():
+                for v in lval if isinstance(lval, list) else [lval]:
+                    emit(pred, str(v), "literal", "", lang)
+            continue
+        for i, v in enumerate(raw if isinstance(raw, list) else [raw]):
+            _value(v, pred, tdef, ctx, resolver, out, graph,
+                   f"{path}.{key}[{i}]", emit)
+    return subj, subj_kind
+
+
+def _value(v: Any, pred: str, tdef: dict, ctx: _Context, resolver,
+           out: list[Triple7], graph: str, path: str, emit) -> None:
+    if v is None:
+        return  # JSON-LD expansion drops null values (json-ld-api §13)
+    if isinstance(v, dict) and "@value" in v:
+        val = v["@value"]
+        dtype = v.get("@type", "")
+        lang = v.get("@language", "")
+        lex, inferred = _literal_lex(val)
+        emit(pred, lex, "literal",
+             ctx.expand_iri(dtype, vocab=True) if dtype else inferred, lang)
+        return
+    if isinstance(v, dict):
+        # node object (possibly only an @id/alias reference — then _node
+        # emits no triples of its own and just returns the identifier)
+        child, kind = _node(v, ctx, resolver, out, graph, path)
+        emit(pred, child, kind)
+        return
+    if isinstance(v, str):
+        if tdef.get("@type") == "@id":
+            emit(pred, ctx.expand_iri(v), "iri")
+        else:
+            dtype = tdef.get("@type", "")
+            emit(pred, v, "literal",
+                 ctx.expand_iri(dtype, vocab=True) if dtype else "",
+                 tdef.get("@language", ""))
+        return
+    lex, dtype = _literal_lex(v)
+    emit(pred, lex, "literal", dtype)
+
+
+def _literal_lex(v: Any) -> tuple[str, str]:
+    """Canonical lexical form + inferred datatype for a JSON scalar
+    (json-ld-api §8.6 value expansion)."""
+    if isinstance(v, bool):
+        return ("true" if v else "false"), XSD + "boolean"
+    if isinstance(v, int):
+        return str(v), XSD + "integer"
+    if isinstance(v, float):
+        # XSD canonical double (m.mmmEe), the form jsonld.js emits
+        mant, exp = f"{v:E}".split("E")
+        mant = mant.rstrip("0").rstrip(".")
+        if "." not in mant:
+            mant += ".0"
+        return f"{mant}E{int(exp)}", XSD + "double"
+    return str(v), ""
+
+
+def read_jsonld(spark, path: str, *, base: str = "",
+                resolver: Callable[[str], str] | None = None):
+    """Parse a .jsonld file driver-side → triples DataFrame in TRIPLE_COLS
+    shape (same contract as read_turtle)."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ..functions.terms import TRIPLE_COLS
+    rows = jsonld_to_triples(json.loads(Path(path).read_text("utf-8")),
+                             base=base, resolver=resolver)
+    return spark.createDataFrame(
+        rows, ", ".join(f"{c} string" for c in TRIPLE_COLS))
