@@ -95,8 +95,14 @@ the measurement isolates the engine's scaling rather than the box's.
 
 - identical input at both levels, materialized (cached+counted) before timing;
 - first run discarded (codegen + python-worker warm-up); mapping workloads
-  report the median of 5 noop-sink runs; the KG pipeline reports the best of
-  2 full runs (it writes its real partitioned parquet + manifest each time);
+  report the median of 5 noop-sink runs; the KG pipeline reports the MEDIAN
+  of 3 full runs (it writes its real partitioned parquet + manifest each
+  time) — medians because this host shows multi-× sample variance under
+  neighbor CPU steal;
+- **equal per-core JVM heap (4 GiB/core) at both levels** — a fixed total
+  heap makes the pinned low-core baseline GC-disadvantaged (same heap,
+  fewer GC threads), which inflated r02's denominators into >1.0
+  "superlinear" efficiencies;
 - fresh JVM per parallelism level (subprocess), nothing else running;
 - each worker is **taskset-pinned to exactly N cores**, so the low-
   parallelism run cannot borrow the other 30 machine cores for JVM GC

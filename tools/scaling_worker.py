@@ -31,9 +31,11 @@ import tempfile
 import time
 
 REPL = 4
-#: kg corpus sized so the parallel stages dominate the pipeline's ~15 s of
-#: fixed driver/commit cost (≈3M turns; see BENCH/BASELINE.md methodology)
-N_CONVS = 1_500_000
+#: kg corpus sized so the parallel stages dominate the pipeline's fixed
+#: driver/commit cost (≈1.5M turns; the r03 fuzzy-skip + fold fixes cut the
+#: fixed cost ~4×, so half the r02 corpus keeps the same signal while
+#: allowing 3 timed repetitions per level — see BENCH/BASELINE.md)
+N_CONVS = 750_000
 MAX_LEN = 600
 #: turn-mapping corpus (narrow-path workload)
 TM_CONVS = 400_000
@@ -69,7 +71,13 @@ def build_spark(cpus: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.codegen.methodSplitThreshold", "256")
-        .config("spark.driver.memory", "32g")
+        # EQUAL PER-CORE heap at every parallelism level (4 GiB/core): a
+        # fixed 32g heap made the pinned 2-core baseline GC-disadvantaged
+        # (fewer GC threads, same heap to walk), inflating the denominator
+        # and producing >1.0 "superlinear" efficiencies (VERDICT r02 #3's
+        # measurement red flag) — a real N-core executor is provisioned
+        # memory proportional to its cores.
+        .config("spark.driver.memory", f"{4 * cpus}g")
         .config("spark.ui.enabled", "false")
     )
     sd = scratch_dir()
@@ -157,14 +165,17 @@ def main():
     pipeline.run(tr, d1, n_buckets=64, resume=False)   # warm
     shutil.rmtree(d1, ignore_errors=True)
     samples, triples = [], 0
-    for _ in range(2):
+    # 3 timed repetitions, median: the r02 protocol's best-of-2 showed 4×
+    # sample variance under host CPU steal (VERDICT r02 #3) — the median of
+    # 3 is robust to one contaminated sample in either direction
+    for _ in range(3):
         d2 = tempfile.mkdtemp(prefix="kg_scale_", dir=scratch_dir())
         t0 = time.time()
         m = pipeline.run(tr, d2, n_buckets=64, resume=False)
         samples.append(time.time() - t0)
         triples = m.triples
         shutil.rmtree(d2, ignore_errors=True)
-    dt = min(samples)
+    dt = statistics.median(samples)
     out["kg"] = {"turns": n_turns, "triples": triples, "sec": round(dt, 3),
                  "samples": [round(s, 2) for s in samples],
                  "triples_per_sec": round(triples / dt),
