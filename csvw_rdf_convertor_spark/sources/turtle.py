@@ -96,3 +96,160 @@ def write_turtle(triples: DataFrame, path: str,
     spark.createDataFrame([(h,) for h in header], "line string") \
         .coalesce(1).write.mode("overwrite").text(f"{path}/_prefixes")
     lines.write.mode("overwrite").text(f"{path}/statements")
+
+
+# --- pretty (buffered) Turtle writer -----------------------------------------
+
+def _compact_str(iri: str, pm: dict[str, str]) -> str:
+    """Driver-side twin of _compact_term."""
+    import re as _re
+    best = None
+    for pfx, ns in pm.items():
+        if iri.startswith(ns) and (best is None or len(ns) > len(pm[best])):
+            local = iri[len(ns):]
+            if _re.fullmatch(r"[A-Za-z_][\w.-]*", local):
+                best = pfx
+    if best is not None:
+        return f"{best}:{iri[len(pm[best]):]}"
+    return f"<{iri}>"
+
+
+def _escape_str(s: str) -> str:
+    return (s.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
+
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def pretty_turtle(rows, prefix_map: dict[str, str] | None = None,
+                  base: str = "") -> str:
+    """Buffered pretty printer — the driver-side parity twin of the
+    reference's non-streaming Turtle path (loaders/serialize.ts:72-96,
+    @rdfjs/serializer-turtle): subject-grouped ``;``/``,`` notation, ``a``
+    for rdf:type, single-reference blank nodes inlined as ``[ … ]``,
+    well-formed rdf:first/rest chains as ``( … )`` collections.
+
+    ``rows`` is an iterable of 7-tuples in TRIPLE_COLS order (the same
+    shape parse_turtle produces) — a buffered pretty printer is inherently
+    whole-graph, so it is fixture-scale by design; the DISTRIBUTED path
+    stays to_turtle_lines/to_ntriples_lines. Output ordering is fully
+    deterministic (sorted subjects/predicates/objects)."""
+    from ..spec import PREFIXES
+    rows = [tuple(r) for r in rows]
+    pm = dict(prefix_map) if prefix_map is not None else {}
+    if prefix_map is None:
+        used_ns = set()
+        import re as _re
+        for r in rows:
+            for iri in (r[0], r[1], r[2] if r[3] == "iri" else None,
+                        r[4] or None):
+                if iri and not iri.startswith("_:"):
+                    m = _re.match(r"^(.*[#/])", iri)
+                    if m:
+                        used_ns.add(m.group(1))
+        for pfx, ns in PREFIXES.items():
+            if ns in used_ns:
+                pm[pfx] = ns
+
+    by_subj: dict[str, list] = {}
+    obj_refs: dict[str, int] = {}
+    for s, p, o, kind, dtype, lang, _g in rows:
+        by_subj.setdefault(s, []).append((p, o, kind, dtype, lang))
+        if kind == "bnode":
+            obj_refs[o] = obj_refs.get(o, 0) + 1
+
+    def is_list_node(b: str) -> bool:
+        po = by_subj.get(b, [])
+        preds = sorted(p for p, *_ in po)
+        return (len(po) == 2 and preds == [_RDF_NS + "first", _RDF_NS + "rest"])
+
+    def list_items(b: str):
+        items = []
+        seen = set()
+        while b != _RDF_NS + "nil":
+            if b in seen or not is_list_node(b):
+                return None  # malformed/shared chain — fall back
+            seen.add(b)
+            po = {p: (o, k, d, lg) for p, o, k, d, lg in by_subj[b]}
+            items.append(po[_RDF_NS + "first"])
+            nxt = po[_RDF_NS + "rest"]
+            if nxt[1] not in ("bnode", "iri"):
+                return None
+            b = nxt[0]
+        return items
+
+    inlined: set[str] = set()
+
+    def term(o, kind, dtype, lang, depth) -> str:
+        if kind == "iri":
+            return _compact_str(o, pm)
+        if kind == "bnode":
+            if (obj_refs.get(o) == 1 and o in by_subj and o not in inlined):
+                if is_list_node(o):
+                    items = list_items(o)
+                    if items is not None:
+                        chain = o
+                        while chain != _RDF_NS + "nil" and chain in by_subj:
+                            inlined.add(chain)
+                            nxt = {p: v for p, v, *_x in by_subj[chain]}
+                            chain = nxt.get(_RDF_NS + "rest", _RDF_NS + "nil")
+                        return "( " + " ".join(
+                            term(*it, depth + 1) for it in items) + " )"
+                inlined.add(o)
+                return "[ " + pred_objs(o, depth + 1) + " ]"
+            return o
+        body = f'"{_escape_str(o)}"'
+        if lang:
+            return body + "@" + lang
+        if dtype and dtype != XSD + "string":
+            return body + "^^" + _compact_str(dtype, pm)
+        return body
+
+    def pred_objs(s: str, depth: int) -> str:
+        po = by_subj[s]
+        groups: dict[str, list] = {}
+        for p, o, k, d, lg in po:
+            groups.setdefault(p, []).append((o, k, d, lg))
+        parts = []
+        ind = "  " * depth
+        for p in sorted(groups, key=lambda x: (x != _RDF_NS + "type", x)):
+            pn = "a" if p == _RDF_NS + "type" else _compact_str(p, pm)
+            objs = ", ".join(term(*ov, depth)
+                             for ov in sorted(groups[p]))
+            parts.append(f"{pn} {objs}")
+        return (" ;\n" + ind + "  ").join(parts)
+
+    out = [f"@prefix {p}: <{ns}> ." for p, ns in sorted(pm.items())]
+    if base:
+        out.append(f"@base <{base}> .")
+    if out:
+        out.append("")
+    # render named subjects first so referrers run before their bnode
+    # children (term() marks children in `inlined` as it renders them);
+    # single-ref bnodes are skipped here and, if their referrer never
+    # materialized, emitted by the fallback pass below
+    ordered = sorted(by_subj, key=lambda s: (s.startswith("_:"), s))
+    rendered = []
+    for s in ordered:
+        if s in inlined or (s.startswith("_:") and obj_refs.get(s) == 1):
+            continue
+        head = s if s.startswith("_:") else _compact_str(s, pm)
+        rendered.append(f"{head} {pred_objs(s, 1)} .")
+    # a deferred bnode that was never actually inlined (referrer missing)
+    for s in ordered:
+        if s.startswith("_:") and obj_refs.get(s) == 1 and s not in inlined:
+            rendered.append(f"{s} {pred_objs(s, 1)} .")
+    out.extend(rendered)
+    return "\n".join(out) + "\n"
+
+
+def to_pretty_turtle(triples: DataFrame,
+                     prefix_map: dict[str, str] | None = None,
+                     base: str = "") -> str:
+    """Collect + pretty-print (driver-side, fixture-scale — the reference's
+    non-streaming writer buffers the whole graph the same way)."""
+    rows = [(r.subj, r.pred, r.obj_lex, r.obj_kind, r.obj_dtype, r.obj_lang,
+             r.graph if "graph" in triples.columns else "")
+            for r in triples.collect()]
+    return pretty_turtle(rows, prefix_map, base)

@@ -149,3 +149,46 @@ def test_reference_ttl_corpus_parses():
         with open(f, encoding="utf-8") as fh:
             triples = parse_turtle(fh.read(), base="http://ex.org/")
         assert triples, f"no triples from {os.path.basename(f)}"
+
+
+def test_pretty_turtle_round_trip():
+    """Pretty writer (subject grouping, bnode inlining, collections) emits
+    valid Turtle that re-parses to the identical triple set."""
+    from csvw_rdf_convertor_spark.sources.turtle import pretty_turtle
+    ttl = """
+    @prefix ex: <http://ex.org/> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    ex:a a ex:Thing ; ex:p "v"@en ; ex:q "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+    ex:a ex:nested [ ex:inner "deep" ; ex:more [ ex:leaf "x" ] ] .
+    ex:a ex:list ( "one" "two" ex:b ) .
+    ex:b ex:p ex:a .
+    _:shared ex:p "s" .
+    ex:a ex:r1 _:shared .
+    ex:b ex:r2 _:shared .
+    """
+    triples = parse_turtle(ttl)
+    out = pretty_turtle(triples)
+    # inlining really happened
+    assert "[ " in out and "( " in out and " ;\n" in out
+    # shared bnode NOT inlined (referenced twice)
+    assert "_:" in out
+    reparsed = parse_turtle(out)
+
+    def canon(ts):
+        """bnode-label-independent canonical form (labels may differ)."""
+        import hashlib
+        lab = {}
+        def n(t):
+            if t.startswith("_:"):
+                return "_:b"
+            return t
+        return sorted((n(s), p, n(o) if k == "bnode" else o, k, d, lg)
+                      for s, p, o, k, d, lg, _g in ts)
+    assert canon(reparsed) == canon(triples)
+    assert len(reparsed) == len(triples)
+
+
+def test_pretty_turtle_deterministic():
+    from csvw_rdf_convertor_spark.sources.turtle import pretty_turtle
+    rows = parse_turtle('@prefix ex: <http://e/> . ex:s ex:p "v" ; ex:q ex:o .')
+    assert pretty_turtle(rows) == pretty_turtle(list(rows))
