@@ -1,0 +1,88 @@
+"""RDF/XML-subset reader (sources/rdfxml.py) — closes the last S4 format
+(reference loaders route .rdf through rdfxml-streaming-parser)."""
+
+import pytest
+
+from csvw_rdf_convertor_spark.sources.rdfxml import parse_rdfxml
+from csvw_rdf_convertor_spark.spec import RDF, XSD
+
+DOC = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://ex.org/ns#"
+         xml:base="http://ex.org/base">
+  <ex:Thing rdf:about="http://ex.org/a" ex:attr="inline">
+    <ex:label xml:lang="en">Hello</ex:label>
+    <ex:count rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">5</ex:count>
+    <ex:link rdf:resource="http://ex.org/b"/>
+    <ex:rel rdf:resource="#frag"/>
+    <ex:nested>
+      <rdf:Description rdf:nodeID="n1">
+        <ex:inner>deep</ex:inner>
+      </rdf:Description>
+    </ex:nested>
+    <ex:props rdf:parseType="Resource">
+      <ex:p1>v1</ex:p1>
+    </ex:props>
+    <ex:list rdf:parseType="Collection">
+      <rdf:Description rdf:about="http://ex.org/i1"/>
+      <rdf:Description rdf:about="http://ex.org/i2"/>
+    </ex:list>
+  </ex:Thing>
+</rdf:RDF>
+"""
+
+EX = "http://ex.org/ns#"
+
+
+def test_full_document():
+    t = parse_rdfxml(DOC)
+    s = {(a, b, c, d, e, f) for a, b, c, d, e, f, _g in t}
+    a = "http://ex.org/a"
+    assert (a, RDF + "type", EX + "Thing", "iri", "", "") in s
+    assert (a, EX + "attr", "inline", "literal", "", "") in s
+    assert (a, EX + "label", "Hello", "literal", "", "en") in s
+    assert (a, EX + "count", "5", "literal", XSD + "integer", "") in s
+    assert (a, EX + "link", "http://ex.org/b", "iri", "", "") in s
+    # xml:base fragment resolution
+    assert (a, EX + "rel", "http://ex.org/base#frag", "iri", "", "") in s
+    # labeled bnode
+    assert (a, EX + "nested", "_:n1", "bnode", "", "") in s
+    assert ("_:n1", EX + "inner", "deep", "literal", "", "") in s
+    # parseType=Resource implicit bnode
+    props = [o for (su, p, o, k, *_x) in s if p == EX + "props"]
+    assert len(props) == 1 and props[0].startswith("_:")
+    assert any(su == props[0] and p == EX + "p1" and o == "v1"
+               for (su, p, o, *_x) in s)
+    # collection: first/rest chain ending in nil
+    heads = [o for (su, p, o, k, *_x) in s if p == EX + "list"]
+    assert len(heads) == 1
+    firsts = {su: o for (su, p, o, *_x) in s if p == RDF + "first"}
+    rests = {su: o for (su, p, o, *_x) in s if p == RDF + "rest"}
+    chain = []
+    cur = heads[0]
+    while cur != RDF + "nil":
+        chain.append(firsts[cur])
+        cur = rests[cur]
+    assert chain == ["http://ex.org/i1", "http://ex.org/i2"]
+
+
+def test_deterministic_bnodes():
+    assert parse_rdfxml(DOC) == parse_rdfxml(DOC)
+
+
+def test_unsupported_parse_type_literal():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:ex="http://e/">
+      <rdf:Description rdf:about="http://s">
+        <ex:x rdf:parseType="Literal"><b>markup</b></ex:x>
+      </rdf:Description></rdf:RDF>"""
+    with pytest.raises(ValueError):
+        parse_rdfxml(doc)
+
+
+def test_bare_typed_node_root():
+    doc = """<ex:T xmlns:ex="http://e/" xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             rdf:about="http://s"><ex:p>v</ex:p></ex:T>"""
+    t = parse_rdfxml(doc)
+    assert ("http://s", RDF + "type", "http://e/T", "iri", "", "", "") in t
+    assert ("http://s", "http://e/p", "v", "literal", "", "", "") in t
