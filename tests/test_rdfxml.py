@@ -86,3 +86,20 @@ def test_bare_typed_node_root():
     t = parse_rdfxml(doc)
     assert ("http://s", RDF + "type", "http://e/T", "iri", "", "", "") in t
     assert ("http://s", "http://e/p", "v", "literal", "", "", "") in t
+
+
+def test_format_router(tmp_path, spark):
+    from csvw_rdf_convertor_spark.sources.parse import read_rdf
+    (tmp_path / "a.rdf").write_text(DOC, "utf-8")
+    (tmp_path / "b.ttl").write_text(
+        '@prefix ex: <http://e/> . ex:s ex:p "v" .', "utf-8")
+    (tmp_path / "c.nt").write_text(
+        '<http://s> <http://p> "o" .\n', "utf-8")
+    import json
+    (tmp_path / "d.jsonld").write_text(json.dumps(
+        {"@context": {"@vocab": "http://v/"}, "@id": "http://s",
+         "name": "x"}), "utf-8")
+    assert read_rdf(spark, str(tmp_path / "a.rdf")).count() > 5
+    assert read_rdf(spark, str(tmp_path / "b.ttl")).count() == 1
+    assert read_rdf(spark, str(tmp_path / "c.nt")).count() == 1
+    assert read_rdf(spark, str(tmp_path / "d.jsonld")).count() == 1
