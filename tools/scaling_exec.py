@@ -50,6 +50,9 @@ TM_CONVS = int(os.environ.get("SCALE_TM_CONVS", 400_000))
 TM_LEN = int(os.environ.get("SCALE_TM_LEN", 800))
 MAP_REPL = int(os.environ.get("SCALE_MAP_REPL", 4))
 N_SAMPLES = int(os.environ.get("SCALE_SAMPLES", N_SAMPLES))
+#: subset of workloads to run (comma list) — mapping,turn_mapping,kg
+WORKLOADS = tuple(os.environ.get("SCALE_WORKLOADS",
+                                 "mapping,turn_mapping,kg").split(","))
 
 TITLES = {
     "mapping": "CSVW→RDF mapping (lineitem sf0.1 ×4, regex-heavy cells)",
@@ -83,16 +86,23 @@ def prep_inputs(sf_dir: str) -> None:
     spark = build_spark(8, "prep")
     spark.sparkContext.setLogLevel("ERROR")
 
-    tr = synth_transcripts(spark, n_convs=KG_CONVS, max_len=KG_LEN)
-    tr = tr.withColumn("_shard", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int"))
-    tr.write.mode("overwrite").partitionBy("_shard").parquet(
-        str(SCRATCH / "kg_corpus"))
+    if "kg" in WORKLOADS:
+        tr = synth_transcripts(spark, n_convs=KG_CONVS, max_len=KG_LEN)
+        tr = tr.withColumn("_shard",
+                           F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int"))
+        tr.write.mode("overwrite").partitionBy("_shard").parquet(
+            str(SCRATCH / "kg_corpus"))
 
-    tm = synth_transcripts(spark, n_convs=TM_CONVS, max_len=TM_LEN)
-    tm = tm.withColumn("_shard", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int"))
-    tm.write.mode("overwrite").partitionBy("_shard").parquet(
-        str(SCRATCH / "tm_corpus"))
+    if "turn_mapping" in WORKLOADS:
+        tm = synth_transcripts(spark, n_convs=TM_CONVS, max_len=TM_LEN)
+        tm = tm.withColumn("_shard",
+                           F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int"))
+        tm.write.mode("overwrite").partitionBy("_shard").parquet(
+            str(SCRATCH / "tm_corpus"))
 
+    if "mapping" not in WORKLOADS:
+        spark.stop()
+        return
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .withColumn("__r", F.explode(F.array(*[F.lit(i) for i in range(MAP_REPL)])))
           .withColumn("_shard", F.pmod(F.xxhash64("l_orderkey", "l_linenumber", "__r"),
@@ -143,6 +153,20 @@ def worker(spec_path: str) -> None:
             time.sleep(0.1)
 
     # --- mapping ---
+    if "mapping" in WORKLOADS:
+        _w_mapping(spec, shard_read, out, barrier)
+    if "turn_mapping" in WORKLOADS:
+        _w_turn(spec, shard_read, out, barrier)
+    if "kg" in WORKLOADS:
+        _w_kg(spec, shard_read, out, barrier)
+    Path(spec["out_path"]).write_text(json.dumps(out))
+
+
+def _w_mapping(spec, shard_read, out, barrier):
+    import time
+    from bench import LINEITEM_DESC
+    from csvw_rdf_convertor_spark.plans.csvw2rdf import table_to_triples
+    from csvw_rdf_convertor_spark.spec import parse_descriptor
     li = shard_read("li_corpus")
     li.count()
     tri = table_to_triples(li, parse_descriptor(LINEITEM_DESC).tables[0])
@@ -157,7 +181,9 @@ def worker(spec_path: str) -> None:
     out["workloads"]["mapping"] = {"rows": n_tri, "samples": samples}
     li.unpersist()
 
-    # --- turn mapping ---
+
+def _w_turn(spec, shard_read, out, barrier):
+    from csvw_rdf_convertor_spark.kg import pipeline
     tm = shard_read("tm_corpus")
     tm.count()
     tt = pipeline.turn_triples(tm)
@@ -172,12 +198,15 @@ def worker(spec_path: str) -> None:
     out["workloads"]["turn_mapping"] = {"rows": n_tt, "samples": samples}
     tm.unpersist()
 
-    # --- kg pipeline ---
+
+def _w_kg(spec, shard_read, out, barrier):
+    from csvw_rdf_convertor_spark.kg import pipeline
+    wid = spec["worker_id"]
     tr = shard_read("kg_corpus")
     n_turns = tr.count()
     wdir = SCRATCH / f"kgout-{spec['level']}-{wid}"
     shutil.rmtree(wdir, ignore_errors=True)
-    m = pipeline.run(tr, str(wdir / "warm"), n_buckets=16, resume=False)  # warm
+    pipeline.run(tr, str(wdir / "warm"), n_buckets=16, resume=False)  # warm
     shutil.rmtree(wdir, ignore_errors=True)
     barrier("kg")
     samples, triples = [], 0
@@ -190,7 +219,6 @@ def worker(spec_path: str) -> None:
         shutil.rmtree(d, ignore_errors=True)
     out["workloads"]["kg"] = {"rows": triples, "turns": n_turns,
                               "samples": samples}
-    Path(spec["out_path"]).write_text(json.dumps(out))
 
 
 # ------------------------------- driver -------------------------------------
@@ -214,7 +242,7 @@ def run_level(n_execs: int, level: str) -> dict:
         outs.append(spec["out_path"])
 
     # barrier manager: for each workload release go once all ready
-    for tag in ("mapping", "turn_mapping", "kg"):
+    for tag in WORKLOADS:
         while True:
             ready = [f for f in SCRATCH.glob(f"ready-{level}-{tag}-*")]
             if len(ready) == n_execs:
@@ -233,7 +261,7 @@ def run_level(n_execs: int, level: str) -> dict:
 def summarize(levels: dict) -> dict:
     summary: dict = {"cores_per_executor": CORES_PER_EXEC,
                      "executors": {"N": 1, "4N": 4}, "raw": levels}
-    for w in TITLES:
+    for w in WORKLOADS:
         per_level = {}
         for lvl, data in levels.items():
             rows = sum(wk["workloads"][w]["rows"] for wk in data["workers"])
@@ -271,7 +299,9 @@ def main():
     summary = summarize({"N": n1, "4N": n4})
     print(json.dumps(summary))
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "scaling_exec_raw.json").write_text(
+    suffix = "" if set(WORKLOADS) == {"mapping", "turn_mapping", "kg"} \
+        else "_" + "_".join(WORKLOADS)
+    (REPO / "BENCH" / f"scaling_exec_raw{suffix}.json").write_text(
         json.dumps(summary, indent=2))
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
