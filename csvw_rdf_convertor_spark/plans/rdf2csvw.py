@@ -461,8 +461,13 @@ def compile_table_query(table) -> tuple[list[CompiledColumn], list[PatternNode]]
     roots: list[PatternNode] = []
     out_cols: list[CompiledColumn] = []
     for i, c in enumerate(cols):
+        # rdf:type branch mirrors create-query.ts:108-111: a type column only
+        # claims siblings when its aboutUrl is truthy (build() collects
+        # children only then) — otherwise aboutUrl-less columns would be
+        # marked referenced yet never bound, leaving their vars unresolved
         referenced = any(
-            (o.aboutUrl == c.aboutUrl if pred_of(j) == RDF_TYPE
+            (bool(o.aboutUrl) and o.aboutUrl == c.aboutUrl
+             if pred_of(j) == RDF_TYPE
              else o.valueUrl is not None and o.valueUrl == c.aboutUrl)
             for j, o in enumerate(cols) if j != i)
         if not referenced or c.name in table.primaryKey:
@@ -518,15 +523,24 @@ def match_table_query(triples: DataFrame, out_cols: list[CompiledColumn],
         [r for r in roots if not r.required]
     out: DataFrame | None = None
     if not any(r.required for r in roots):
-        # all-optional seed: subjects that match ANY top-level pattern
-        seeds = [frame(PatternNode(subj_var=r.subj_var, pred=r.pred,
-                                   obj_var=None, obj_iri=None))
-                 .select(r.subj_var) for r in roots]
-        out = seeds[0]
-        for s in seeds[1:]:
-            if s.columns == out.columns:
-                out = out.unionByName(s)
-        out = out.distinct()
+        # all-optional seed: subjects that match ANY top-level pattern,
+        # grouped per subject VARIABLE (the reference's
+        # createSelectOfOptionalSubjects unions per-root subject selects;
+        # roots with different subject vars get their own seed, combined as
+        # the same cartesian the disconnected-root join below uses). The
+        # seed keeps each root's obj_iri/subj_regex constraints so e.g. a
+        # type root only seeds correctly-typed subjects.
+        by_var: dict[str, DataFrame] = {}
+        for r in roots:
+            s = frame(PatternNode(subj_var=r.subj_var, pred=r.pred,
+                                  obj_var=None, obj_iri=r.obj_iri,
+                                  subj_regex=r.subj_regex)
+                      ).select(r.subj_var)
+            prev = by_var.get(r.subj_var)
+            by_var[r.subj_var] = s if prev is None else prev.unionByName(s)
+        for s in by_var.values():
+            s = s.distinct()
+            out = s if out is None else out.crossJoin(s)
     for r in ordered:
         rf = frame(r)
         if out is None:

@@ -23,10 +23,15 @@ Subset covered (the flat/compact shapes the reference corpus uses):
   own nodes + an edge triple), top-level ``@graph`` (named or default);
 - blank nodes: nodes without ``@id`` get DETERMINISTIC skolem ids derived
   from their position path in the document (T9 — same bytes, same ids;
-  no counters that survive retries differently).
+  no counters that survive retries differently);
+- ordered lists: ``{"@list": [...]}`` values and ``@container: @list``
+  terms → rdf:first/rest chains with deterministic skolem bnodes (same
+  chain shape as the Turtle/RDF-XML collection readers);
+- ``@graph`` nodes with sibling properties: the graph node's own
+  properties are emitted in the default graph (JSON-LD expansion).
 
-Unsupported (raises ``ValueError``, never silently drops): ``@list``,
-``@index`` containers, ``@nest`` — absent from the target corpus.
+Unsupported (raises ``ValueError``, never silently drops): ``@index``
+containers, ``@nest`` — absent from the target corpus.
 """
 
 from __future__ import annotations
@@ -145,6 +150,14 @@ def _walk_top(doc: Any, ctx: _Context, resolver, out: list[Triple7],
             gid = ctx.expand_iri(doc[id_key])
         for i, node in enumerate(doc["@graph"]):
             _node(node, ctx, resolver, out, gid, path=f"g[{i}]")
+        # the graph node's OWN properties (ADVICE r3: previously silently
+        # dropped): per JSON-LD expansion they describe the graph-name node
+        # in the DEFAULT graph — {"@id": g, "@graph": [...], "name": x}
+        # emits (g, name, x) outside the named graph
+        rest = {k: v for k, v in doc.items()
+                if k not in ("@context", "@graph")}
+        if any(_keyword_of(ctx, k) != "@id" for k in rest):
+            _node(rest, ctx, resolver, out, graph, path="$")
         return
     _node(doc, ctx, resolver, out, graph, path="$")
 
@@ -156,9 +169,11 @@ def _node(node: dict, ctx: _Context, resolver, out: list[Triple7],
         raise ValueError(f"expected node object at {path}, got {node!r}")
     if "@context" in node:
         ctx = ctx.merged(node["@context"], resolver)
-    if "@list" in node or "@index" in node or "@nest" in node:
+    if "@index" in node or "@nest" in node:
         raise ValueError(f"unsupported JSON-LD feature at {path} "
-                         "(@list/@index/@nest)")
+                         "(@index/@nest)")
+    if "@list" in node:
+        raise ValueError(f"@list outside a value position at {path}")
     id_key = next((k for k in node if _keyword_of(ctx, k) == "@id"), None)
     if id_key is not None:
         subj = ctx.expand_iri(node[id_key])
@@ -205,6 +220,9 @@ def _node(node: dict, ctx: _Context, resolver, out: list[Triple7],
                 for v in lval if isinstance(lval, list) else [lval]:
                     emit(pred, str(v), "literal", "", lang)
             continue
+        if tdef.get("@container") == "@list" and not (
+                isinstance(raw, dict) and "@list" in raw):
+            raw = {"@list": raw if isinstance(raw, list) else [raw]}
         for i, v in enumerate(raw if isinstance(raw, list) else [raw]):
             _value(v, pred, tdef, ctx, resolver, out, graph,
                    f"{path}.{key}[{i}]", emit)
@@ -215,6 +233,32 @@ def _value(v: Any, pred: str, tdef: dict, ctx: _Context, resolver,
            out: list[Triple7], graph: str, path: str, emit) -> None:
     if v is None:
         return  # JSON-LD expansion drops null values (json-ld-api §13)
+    if isinstance(v, dict) and "@list" in v:
+        # ordered list → rdf:first/rest chain with deterministic skolem
+        # bnode ids (json-ld-api §13 list conversion; same chain shape as
+        # the Turtle/RDF-XML collection readers and csvw2rdf T6)
+        items = v["@list"]
+        items = items if isinstance(items, list) else [items]
+        items = [it for it in items if it is not None]
+        if not items:
+            emit(pred, RDF + "nil", "iri")
+            return
+        heads = [skolem_value("jsonld-li", path, str(j))
+                 for j in range(len(items))]
+        emit(pred, heads[0], "bnode")
+        for j, item in enumerate(items):
+            if isinstance(item, list):
+                raise ValueError(f"nested bare-array list item at {path}")
+
+            def lemit(p2, lex, kind, dtype="", lang="", _h=heads[j]):
+                out.append((_h, p2, lex, kind, dtype, lang, graph))
+            _value(item, RDF + "first", tdef, ctx, resolver, out, graph,
+                   f"{path}.l[{j}]", lemit)
+            nxt = (heads[j + 1], "bnode") if j + 1 < len(heads) \
+                else (RDF + "nil", "iri")
+            out.append((heads[j], RDF + "rest", nxt[0], nxt[1],
+                        "", "", graph))
+        return
     if isinstance(v, dict) and "@value" in v:
         val = v["@value"]
         dtype = v.get("@type", "")

@@ -15,9 +15,11 @@ Subset covered (the shapes the W3C CSVW corpus and common vocab dumps use):
   / anonymous (deterministic skolem bnode from the element path — T9);
 - property elements: ``rdf:resource`` references, nested node elements,
   text literals with ``rdf:datatype`` / ``xml:lang`` (inherited), property
-  ATTRIBUTES on node elements, ``rdf:parseType="Resource"`` (implicit
-  bnode) and ``rdf:parseType="Collection"`` (rdf:first/rest chains with
-  deterministic bnode ids);
+  ATTRIBUTES on node elements AND on property elements (empty property
+  element → implicit bnode per RDF/XML §2.12; with ``rdf:resource`` →
+  properties of the referenced object), ``rdf:parseType="Resource"``
+  (implicit bnode) and ``rdf:parseType="Collection"`` (rdf:first/rest
+  chains with deterministic bnode ids);
 - ``xml:base`` resolution for about/resource/ID.
 
 Unsupported (raises ``ValueError``): ``rdf:parseType="Literal"``,
@@ -150,21 +152,52 @@ def _property(prop: ET.Element, subj: str, base: str, out: list[Triple7],
                 else (RDF + "nil", "iri")
             out.append((heads[idx], RDF + "rest", nxt[0], nxt[1], "", "", ""))
         return
+    # property ATTRIBUTES on the property element (RDF/XML §2.12 "omitting
+    # blank nodes"): properties of the (resource or implicit-bnode) OBJECT
+    prop_attrs = [(attr, val) for attr, val in prop.attrib.items()
+                  if attr not in _SYNTAX_ATTRS
+                  and not attr.startswith(_XML_NS)]
+
+    def emit_obj_attrs(obj: str) -> None:
+        for attr, val in prop_attrs:
+            a_iri = _split_qname(attr)
+            if a_iri == RDF + "type":
+                out.append((obj, RDF + "type", _resolve(val, base),
+                            "iri", "", "", ""))
+            else:
+                out.append((obj, a_iri, val, "literal", "", lang, ""))
+
     if resource is not None:
-        emit(pred, _resolve(resource, base), "iri")
+        o = _resolve(resource, base)
+        emit(pred, o, "iri")
+        emit_obj_attrs(o)
         return
     if node_id is not None:
         emit(pred, "_:" + node_id, "bnode")
+        emit_obj_attrs("_:" + node_id)
         return
     children = list(prop)
     if children:
         if len(children) != 1:
             raise ValueError(f"property element with {len(children)} "
                              f"node children at {path}")
+        if prop_attrs:
+            raise ValueError(f"property attributes alongside a node-element "
+                             f"child at {path}")
         o, okind = _node(children[0], base, out, f"{path}.0", lang)
         emit(pred, o, okind)
         return
-    # text literal (possibly with property attributes → not supported mix)
+    if prop_attrs:
+        # empty property element with property attributes → implicit bnode
+        # (ADVICE r3: previously silently dropped + wrong empty literal)
+        if (prop.text or "").strip():
+            raise ValueError(f"property attributes mixed with literal "
+                             f"content at {path}")
+        b = "_:" + skolem_value("rdfxml-pa", path)[:24]
+        emit(pred, b, "bnode")
+        emit_obj_attrs(b)
+        return
+    # text literal
     text = prop.text or ""
     if dtype:
         emit(pred, text, "literal", _resolve(dtype, base), "")

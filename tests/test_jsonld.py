@@ -133,3 +133,65 @@ def test_read_jsonld_dataframe(spark, tmp_path):
                           "obj_dtype", "obj_lang", "graph"]
     rows = df.collect()
     assert len(rows) == 1 and rows[0].pred == "http://v/name"
+
+
+def _follow_list(triples, head):
+    """Walk an rdf:first/rest chain → [(lex, kind, dtype, lang)]."""
+    from csvw_rdf_convertor_spark.spec import RDF
+    by_subj = {}
+    for s, p, o, k, d, lg, _g in triples:
+        by_subj.setdefault(s, {})[p] = (o, k, d, lg)
+    items = []
+    while head != RDF + "nil":
+        node = by_subj[head]
+        items.append(node[RDF + "first"])
+        head = node[RDF + "rest"][0]
+    return items
+
+
+def test_list_value_chain_isomorphic_to_turtle():
+    """VERDICT r3 #6: @list parses to first/rest chains isomorphic to the
+    Turtle parse of the same graph (chain-walk comparison — bnode ids are
+    skolems from different seeds, so compare structure, not ids)."""
+    from csvw_rdf_convertor_spark.sources.turtle_parse import parse_turtle
+    doc = {"@context": {"@vocab": "http://v/"},
+           "@id": "http://s",
+           "items": {"@list": [1, "x", {"@id": "http://o"}]}}
+    jt = jsonld_to_triples(doc)
+    tt = parse_turtle(
+        '@prefix v: <http://v/> . @prefix xsd: '
+        '<http://www.w3.org/2001/XMLSchema#> .\n'
+        '<http://s> v:items (1 "x" <http://o>) .')
+
+    def head_of(triples):
+        e = next(r for r in triples
+                 if r[0] == "http://s" and r[1] == "http://v/items")
+        assert e[3] == "bnode"
+        return e[2]
+
+    assert _follow_list(jt, head_of(jt)) == _follow_list(tt, head_of(tt))
+    assert jsonld_to_triples(doc) == jt  # deterministic skolems (T9)
+
+
+def test_list_container_term_and_empty_list():
+    from csvw_rdf_convertor_spark.spec import RDF
+    doc = {"@context": {"@vocab": "http://v/",
+                        "seq": {"@id": "http://v/seq", "@container": "@list"}},
+           "@id": "http://s", "seq": ["a", "b"], "none": {"@list": []}}
+    t = jsonld_to_triples(doc)
+    assert ("http://s", "http://v/none", RDF + "nil", "iri", "", "", "") in t
+    head = next(r[2] for r in t if r[1] == "http://v/seq")
+    assert [i[0] for i in _follow_list(t, head)] == ["a", "b"]
+
+
+def test_graph_node_sibling_properties():
+    """ADVICE r3: a named-graph document's sibling properties describe the
+    graph node in the DEFAULT graph instead of being dropped."""
+    doc = {"@context": {"@vocab": "http://v/"},
+           "@id": "http://g1",
+           "@graph": [{"@id": "http://s2", "p": "v"}],
+           "name": "my graph"}
+    t = jsonld_to_triples(doc)
+    assert ("http://s2", "http://v/p", "v", "literal", "", "", "http://g1") in t
+    assert ("http://g1", "http://v/name", "my graph",
+            "literal", "", "", "") in t

@@ -120,3 +120,67 @@ def test_type_column_group(spark):
     rows = {(r.subj, r.label) for r in out.collect()}
     # type column outputs the SUBJECT variable; wrong-typed subjects excluded
     assert rows == {("urn:item#7", "seven")}
+
+
+def test_type_column_without_abouturl_binds_siblings(spark):
+    """ADVICE r3 (medium): a type column with NO aboutUrl must not claim
+    sibling aboutUrl-less columns as referenced — build() only collects
+    children under a truthy aboutUrl, so their vars were never bound and
+    match_table_query raised an unresolved-column error. With the
+    create-query.ts:108-111 truthiness guard they become their own roots
+    joined on the shared subject variable."""
+    desc = {
+        "url": "urn:t",
+        "tableSchema": {
+            "columns": [
+                {"name": "subj", "propertyUrl": "rdf:type",
+                 "valueUrl": "urn:t#Item"},
+                {"name": "label", "propertyUrl": "urn:t#label"},
+            ],
+        },
+    }
+    table = parse_descriptor(desc).tables[0]
+    cols, roots = rdf2csvw.compile_table_query(table)
+    # both columns are roots sharing one subject variable
+    assert len(roots) == 2
+    assert len({r.subj_var for r in roots}) == 1
+    t = (spark.createDataFrame(
+        [("urn:item#7", RDF_TYPE, "urn:t#Item", "iri"),
+         ("urn:item#7", "urn:t#label", "seven", "literal"),
+         ("urn:item#8", RDF_TYPE, "urn:t#Other", "iri"),
+         ("urn:item#8", "urn:t#label", "eight", "literal")],
+        "subj string, pred string, obj_lex string, obj_kind string")
+        .withColumn("obj_dtype", F.lit("")).withColumn("obj_lang", F.lit(""))
+        .withColumn("graph", F.lit("")))
+    out = rdf2csvw.match_table_query(t, cols, roots)
+    rows = {(r.subj, r.label) for r in out.collect()}
+    # all-optional seed admits subjects matching ANY root: item#8 is seeded
+    # by the label pattern (reference's per-column optional-subjects UNION),
+    # but the type-root seed itself only admits correctly-typed subjects
+    assert rows == {("urn:item#7", "seven"), ("urn:item#8", "eight")}
+
+
+def test_all_optional_seed_keeps_type_constraint(spark):
+    """ADVICE r3 (low): the all-optional seed must carry each root's
+    obj_iri constraint — a wrong-typed subject with NO other pattern match
+    must not be admitted as an all-empty row."""
+    desc = {
+        "url": "urn:t",
+        "tableSchema": {
+            "aboutUrl": "urn:item#{id}",
+            "columns": [
+                {"name": "subj", "propertyUrl": "rdf:type",
+                 "valueUrl": "urn:t#Item"},
+            ],
+        },
+    }
+    table = parse_descriptor(desc).tables[0]
+    cols, roots = rdf2csvw.compile_table_query(table)
+    t = (spark.createDataFrame(
+        [("urn:item#7", RDF_TYPE, "urn:t#Item", "iri"),
+         ("urn:item#8", RDF_TYPE, "urn:t#Other", "iri")],
+        "subj string, pred string, obj_lex string, obj_kind string")
+        .withColumn("obj_dtype", F.lit("")).withColumn("obj_lang", F.lit(""))
+        .withColumn("graph", F.lit("")))
+    out = rdf2csvw.match_table_query(t, cols, roots)
+    assert {r.subj for r in out.collect()} == {"urn:item#7"}

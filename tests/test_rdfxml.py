@@ -103,3 +103,42 @@ def test_format_router(tmp_path, spark):
     assert read_rdf(spark, str(tmp_path / "b.ttl")).count() == 1
     assert read_rdf(spark, str(tmp_path / "c.nt")).count() == 1
     assert read_rdf(spark, str(tmp_path / "d.jsonld")).count() == 1
+
+
+def test_property_attributes_on_empty_property_element():
+    """ADVICE r3: <ex:addr ex:city="X"/> → implicit bnode object carrying
+    the attribute properties (RDF/XML §2.12), not an empty literal."""
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:ex="http://e/">
+      <rdf:Description rdf:about="http://s">
+        <ex:addr ex:city="Paris" ex:zip="75001"/>
+      </rdf:Description></rdf:RDF>"""
+    t = parse_rdfxml(doc)
+    edge = next(r for r in t if r[1] == "http://e/addr")
+    assert edge[3] == "bnode"
+    b = edge[2]
+    assert (b, "http://e/city", "Paris", "literal", "", "", "") in t
+    assert (b, "http://e/zip", "75001", "literal", "", "", "") in t
+    assert not any(r[1] == "http://e/addr" and r[3] == "literal" for r in t)
+    assert parse_rdfxml(doc) == t  # deterministic implicit bnode
+
+
+def test_property_attributes_with_rdf_resource():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:ex="http://e/">
+      <rdf:Description rdf:about="http://s">
+        <ex:knows rdf:resource="http://o" ex:name="Ann"/>
+      </rdf:Description></rdf:RDF>"""
+    t = parse_rdfxml(doc)
+    assert ("http://s", "http://e/knows", "http://o", "iri", "", "", "") in t
+    assert ("http://o", "http://e/name", "Ann", "literal", "", "", "") in t
+
+
+def test_property_attributes_mixed_with_text_raises():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:ex="http://e/">
+      <rdf:Description rdf:about="http://s">
+        <ex:p ex:q="x">text</ex:p>
+      </rdf:Description></rdf:RDF>"""
+    with pytest.raises(ValueError):
+        parse_rdfxml(doc)

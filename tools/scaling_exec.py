@@ -50,9 +50,15 @@ TM_CONVS = int(os.environ.get("SCALE_TM_CONVS", 400_000))
 TM_LEN = int(os.environ.get("SCALE_TM_LEN", 800))
 MAP_REPL = int(os.environ.get("SCALE_MAP_REPL", 4))
 N_SAMPLES = int(os.environ.get("SCALE_SAMPLES", N_SAMPLES))
-#: subset of workloads to run (comma list) — mapping,turn_mapping,kg
-WORKLOADS = tuple(os.environ.get("SCALE_WORKLOADS",
-                                 "mapping,turn_mapping,kg").split(","))
+#: subset of workloads to run (comma list) — mapping,turn_mapping,kg.
+#: Canonicalized to worker execution order (ADVICE r3: the driver's barrier
+#: loop must release go-files in the SAME order workers hit them, or an env
+#: ordering like "kg,mapping" deadlocks both sides)
+_CANON_WORKLOADS = ("mapping", "turn_mapping", "kg")
+WORKLOADS = tuple(
+    w for w in _CANON_WORKLOADS
+    if w in set(os.environ.get("SCALE_WORKLOADS",
+                               ",".join(_CANON_WORKLOADS)).split(",")))
 #: untimed warm-up iterations per workload before the barrier — the
 #: regex-heavy mapping codegen needs several full passes before the JIT
 #: fully compiles it (measured: 4N samples drop 49s → 37s by sample 4);
