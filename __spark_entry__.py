@@ -695,26 +695,53 @@ FROM documents
 
 
 def q_dedup_exact(spark, sf_dir):
-    docs = _p(spark, sf_dir, "documents")
-    return dedup.exact_duplicates(docs)
+    """The raw corpus has no exact duplicates at small SF, which made this
+    gate a trivially-empty assertion (VERDICT r3 #8) — so the query salts a
+    deterministic duplicate injection (every 25th doc re-added under a
+    shifted id) into BOTH sides; the gate now verifies real groups."""
+    docs = _p(spark, sf_dir, "documents").select("doc_id", "text")
+    salted = (docs.where(F.col("doc_id") % 25 == 0)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    return dedup.exact_duplicates(docs.unionByName(salted))
 
 
 SQL_DEDUP_EXACT = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+)
 SELECT md5(text) AS content_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
-FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+FROM d GROUP BY md5(text) HAVING COUNT(*) > 1
 """
 
 
 def q_dedup_normalized(spark, sf_dir):
-    docs = _p(spark, sf_dir, "documents")
-    return dedup.normalized_duplicates(docs)
+    """Salted like q_dedup_exact, but the injected copies are whitespace-
+    perturbed (leading/trailing + doubled inner spaces) — NOT exact dups,
+    so the gate verifies the token-sort normalization actually collapses
+    them (every 25th doc, offset 7)."""
+    docs = _p(spark, sf_dir, "documents").select("doc_id", "text")
+    salted = (docs.where(F.col("doc_id") % 25 == 7)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+              .withColumn("text", F.concat(
+                  F.lit("  "), F.regexp_replace("text", " ", "  "),
+                  F.lit(" "))))
+    return dedup.normalized_duplicates(docs.unionByName(salted))
 
 
 SQL_DEDUP_NORMALIZED = r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         '  ' || replace(text, ' ', '  ') || ' ' AS text
+  FROM documents WHERE doc_id % 25 = 7
+)
 SELECT md5(array_to_string(list_sort(string_split_regex(lower(trim(text)), '\s+')), ' '))
            AS norm_sig,
        COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
-FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+FROM d GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
@@ -996,13 +1023,22 @@ ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
 
 
 def q_emb_near_dup_blocked(spark, sf_dir):
-    """Embedding-cosine near-dup pairs blocked by label."""
-    emb = _p(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_duplicates(emb, block_col="label", threshold=0.9)
+    """Embedding-cosine near-dup pairs blocked by label. The raw corpus has
+    no pairs at cos ≥ 0.9 (trivially-empty gate, VERDICT r3 #8), so every
+    50th vector is re-injected under a shifted id — identical embedding and
+    label ⇒ cos = 1.0 pairs the gate actually verifies."""
+    emb = _p(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    salted = (emb.where(F.col("vec_id") % 50 == 0)
+              .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
+    return dedup.embedding_near_duplicates(emb.unionByName(salted),
+                                           block_col="label", threshold=0.9)
 
 
 SQL_EMB_NEAR_DUP = """
-WITH v AS (SELECT vec_id, label, embedding FROM embeddings)
+WITH v AS (SELECT vec_id, label, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id, label, embedding
+           FROM embeddings WHERE vec_id % 50 = 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(
          list_reduce(list_prepend(0.0::DOUBLE,
