@@ -89,6 +89,8 @@ class _Context:
 
     def expand_iri(self, value: str, vocab: bool = False) -> str:
         """Term → IRI: term definitions, prefix:suffix, @vocab/@base."""
+        if value.startswith("_:"):
+            return value  # blank node identifier (json-ld §3.4)
         if value in self.terms:
             iri = self.terms[value].get("@id", value)
             return iri if _ABS_IRI.match(iri) else self.expand_iri(iri, vocab)
@@ -177,7 +179,7 @@ def _node(node: dict, ctx: _Context, resolver, out: list[Triple7],
     id_key = next((k for k in node if _keyword_of(ctx, k) == "@id"), None)
     if id_key is not None:
         subj = ctx.expand_iri(node[id_key])
-        subj_kind = "iri"
+        subj_kind = "bnode" if subj.startswith("_:") else "iri"
     else:
         subj = skolem_value("jsonld-bnode", path)
         subj_kind = "bnode"
@@ -188,6 +190,14 @@ def _node(node: dict, ctx: _Context, resolver, out: list[Triple7],
     for key, raw in node.items():
         kw = _keyword_of(ctx, key)
         if key == "@context" or kw == "@id":
+            continue
+        if kw == "@graph":
+            # graph object (json-ld §9.4): children live in the graph NAMED
+            # by this node's @id; the node's other properties stay in the
+            # enclosing graph
+            for i, child in enumerate(
+                    raw if isinstance(raw, list) else [raw]):
+                _node(child, ctx, resolver, out, subj, f"{path}.g[{i}]")
             continue
         if kw == "@type":
             for t in raw if isinstance(raw, list) else [raw]:

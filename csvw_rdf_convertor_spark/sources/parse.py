@@ -31,3 +31,28 @@ def read_rdf(spark, path: str, base: str = "", resolver=None):
         return parse_ntriples(spark, path)
     from .turtle_parse import read_turtle
     return read_turtle(spark, path, base)
+
+
+def serialize_rdf(triples, fmt: str, prefix_map: dict | None = None):
+    """Format router for RDF OUTPUT — parity twin of loaders/serialize.ts:
+    44-66 (N3 StreamWriter for nt/nq/ttl/trig, streaming JSON-LD writer).
+
+    Line formats stay DISTRIBUTED: ``nt``/``nq`` return a DataFrame of
+    serialized lines (write with ``.write.text``) — the 100 TB path. The
+    buffered pretty formats (``ttl``/``trig``/``jsonld``) collect and
+    return the document as a ``str`` (fixture-scale by design, same as the
+    reference's buffered writers)."""
+    fmt = fmt.lower().lstrip(".")
+    if fmt in ("nt", "ntriples", "nq", "nquads"):
+        from ..functions.ntriples import to_ntriples_lines
+        return to_ntriples_lines(triples)
+    if fmt in ("ttl", "turtle"):
+        from .turtle import to_pretty_turtle
+        return to_pretty_turtle(triples, prefix_map)
+    if fmt == "trig":
+        from .turtle import to_pretty_trig
+        return to_pretty_trig(triples, prefix_map)
+    if fmt == "jsonld":
+        from .jsonld_write import to_jsonld
+        return to_jsonld(triples, prefix_map)
+    raise ValueError(f"unsupported RDF output format: {fmt!r}")

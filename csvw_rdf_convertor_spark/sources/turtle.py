@@ -122,6 +122,22 @@ def _escape_str(s: str) -> str:
 _RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
 
+def _derive_prefixes(rows) -> dict[str, str]:
+    """Well-known RDFa prefixes actually used by ``rows`` (driver-side twin
+    of build_prefix_map for buffered writers)."""
+    from ..spec import PREFIXES
+    used_ns = set()
+    import re as _re
+    for r in rows:
+        for iri in (r[0], r[1], r[2] if r[3] == "iri" else None,
+                    r[4] or None):
+            if iri and not iri.startswith("_:"):
+                m = _re.match(r"^(.*[#/])", iri)
+                if m:
+                    used_ns.add(m.group(1))
+    return {pfx: ns for pfx, ns in PREFIXES.items() if ns in used_ns}
+
+
 def pretty_turtle(rows, prefix_map: dict[str, str] | None = None,
                   base: str = "") -> str:
     """Buffered pretty printer — the driver-side parity twin of the
@@ -135,23 +151,23 @@ def pretty_turtle(rows, prefix_map: dict[str, str] | None = None,
     whole-graph, so it is fixture-scale by design; the DISTRIBUTED path
     stays to_turtle_lines/to_ntriples_lines. Output ordering is fully
     deterministic (sorted subjects/predicates/objects)."""
-    from ..spec import PREFIXES
     rows = [tuple(r) for r in rows]
-    pm = dict(prefix_map) if prefix_map is not None else {}
-    if prefix_map is None:
-        used_ns = set()
-        import re as _re
-        for r in rows:
-            for iri in (r[0], r[1], r[2] if r[3] == "iri" else None,
-                        r[4] or None):
-                if iri and not iri.startswith("_:"):
-                    m = _re.match(r"^(.*[#/])", iri)
-                    if m:
-                        used_ns.add(m.group(1))
-        for pfx, ns in PREFIXES.items():
-            if ns in used_ns:
-                pm[pfx] = ns
+    pm = dict(prefix_map) if prefix_map is not None else _derive_prefixes(rows)
+    out = [f"@prefix {p}: <{ns}> ." for p, ns in sorted(pm.items())]
+    if base:
+        out.append(f"@base <{base}> .")
+    if out:
+        out.append("")
+    out.extend(_render_statements(rows, pm))
+    return "\n".join(out) + "\n"
 
+
+def _render_statements(rows, pm: dict[str, str],
+                       no_inline: frozenset = frozenset()) -> list[str]:
+    """Subject-grouped Turtle statements (no prefix header) for one graph's
+    rows — the shared core of pretty_turtle and pretty_trig. Bnodes in
+    ``no_inline`` are always rendered by label (TriG: a bnode shared across
+    graph blocks is document-scoped and must keep its label identity)."""
     by_subj: dict[str, list] = {}
     obj_refs: dict[str, int] = {}
     for s, p, o, kind, dtype, lang, _g in rows:
@@ -185,7 +201,8 @@ def pretty_turtle(rows, prefix_map: dict[str, str] | None = None,
         if kind == "iri":
             return _compact_str(o, pm)
         if kind == "bnode":
-            if (obj_refs.get(o) == 1 and o in by_subj and o not in inlined):
+            if (obj_refs.get(o) == 1 and o in by_subj
+                    and o not in inlined and o not in no_inline):
                 if is_list_node(o):
                     items = list_items(o)
                     if items is not None:
@@ -220,11 +237,6 @@ def pretty_turtle(rows, prefix_map: dict[str, str] | None = None,
             parts.append(f"{pn} {objs}")
         return (" ;\n" + ind + "  ").join(parts)
 
-    out = [f"@prefix {p}: <{ns}> ." for p, ns in sorted(pm.items())]
-    if base:
-        out.append(f"@base <{base}> .")
-    if out:
-        out.append("")
     # render named subjects first so referrers run before their bnode
     # children (term() marks children in `inlined` as it renders them);
     # single-ref bnodes are skipped here and, if their referrer never
@@ -232,16 +244,68 @@ def pretty_turtle(rows, prefix_map: dict[str, str] | None = None,
     ordered = sorted(by_subj, key=lambda s: (s.startswith("_:"), s))
     rendered = []
     for s in ordered:
-        if s in inlined or (s.startswith("_:") and obj_refs.get(s) == 1):
+        if s in inlined or (s.startswith("_:") and obj_refs.get(s) == 1
+                            and s not in no_inline):
             continue
         head = s if s.startswith("_:") else _compact_str(s, pm)
         rendered.append(f"{head} {pred_objs(s, 1)} .")
-    # a deferred bnode that was never actually inlined (referrer missing)
+    # a deferred bnode that was never actually inlined (referrer missing);
+    # no_inline members were already rendered by the main pass
     for s in ordered:
-        if s.startswith("_:") and obj_refs.get(s) == 1 and s not in inlined:
+        if (s.startswith("_:") and obj_refs.get(s) == 1
+                and s not in inlined and s not in no_inline):
             rendered.append(f"{s} {pred_objs(s, 1)} .")
-    out.extend(rendered)
+    return rendered
+
+
+def pretty_trig(rows, prefix_map: dict[str, str] | None = None,
+                base: str = "") -> str:
+    """Pretty TriG writer (reference: loaders/serialize.ts:44-60 routes
+    ``.trig`` through the same N3 writer with named-graph support): default-
+    graph statements at top level, each named graph as a ``<g> { … }``
+    block rendered by the shared pretty-Turtle core. Blank-node inlining is
+    scoped per graph (a bnode referenced in one graph and described in
+    another must not be inlined across the block boundary). Deterministic:
+    graphs sorted, statements sorted within each block."""
+    rows = [tuple(r) for r in rows]
+    pm = dict(prefix_map) if prefix_map is not None else _derive_prefixes(rows)
+    out = [f"@prefix {p}: <{ns}> ." for p, ns in sorted(pm.items())]
+    if base:
+        out.append(f"@base <{base}> .")
+    if out:
+        out.append("")
+    graphs: dict[str, list] = {}
+    bnode_graphs: dict[str, set] = {}
+    for r in rows:
+        graphs.setdefault(r[6] or "", []).append(r)
+        if r[0].startswith("_:"):
+            bnode_graphs.setdefault(r[0], set()).add(r[6] or "")
+        if r[3] == "bnode":
+            bnode_graphs.setdefault(r[2], set()).add(r[6] or "")
+    # document-scoped bnode labels: one appearing in >1 graph must keep its
+    # label in every block (inlining would split it into distinct nodes)
+    shared = frozenset(b for b, gs in bnode_graphs.items() if len(gs) > 1)
+    default = graphs.pop("", None)
+    if default:
+        out.extend(_render_statements(default, pm, shared))
+        if graphs:
+            out.append("")
+    for i, g in enumerate(sorted(graphs)):
+        head = g if g.startswith("_:") else _compact_str(g, pm)
+        out.append(f"{head} {{")
+        out.extend("  " + line
+                   for line in _render_statements(graphs[g], pm, shared))
+        out.append("}")
+        if i + 1 < len(graphs):
+            out.append("")
     return "\n".join(out) + "\n"
+
+
+def _collect_rows(triples: DataFrame) -> list:
+    has_graph = "graph" in triples.columns
+    return [(r.subj, r.pred, r.obj_lex, r.obj_kind, r.obj_dtype, r.obj_lang,
+             r.graph if has_graph else "")
+            for r in triples.collect()]
 
 
 def to_pretty_turtle(triples: DataFrame,
@@ -249,7 +313,11 @@ def to_pretty_turtle(triples: DataFrame,
                      base: str = "") -> str:
     """Collect + pretty-print (driver-side, fixture-scale — the reference's
     non-streaming writer buffers the whole graph the same way)."""
-    rows = [(r.subj, r.pred, r.obj_lex, r.obj_kind, r.obj_dtype, r.obj_lang,
-             r.graph if "graph" in triples.columns else "")
-            for r in triples.collect()]
-    return pretty_turtle(rows, prefix_map, base)
+    return pretty_turtle(_collect_rows(triples), prefix_map, base)
+
+
+def to_pretty_trig(triples: DataFrame,
+                   prefix_map: dict[str, str] | None = None,
+                   base: str = "") -> str:
+    """Collect + pretty-print TriG (driver-side, fixture-scale)."""
+    return pretty_trig(_collect_rows(triples), prefix_map, base)

@@ -124,6 +124,11 @@ class TurtleParser:
                 self._directive()
             elif tok.upper() == "GRAPH" or (tok == "{" and kind == "punct"):
                 self._graph_block()
+            elif (self.i + 1 < len(self.tokens)
+                  and self.tokens[self.i + 1][1] == "{"):
+                # TriG label-first shorthand: <g> { … } without the GRAPH
+                # keyword (graph labels are always single tokens)
+                self._graph_block()
             else:
                 self._triples()
                 self._expect(".")
