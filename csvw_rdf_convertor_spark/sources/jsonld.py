@@ -28,10 +28,15 @@ Subset covered (the flat/compact shapes the reference corpus uses):
   terms → rdf:first/rest chains with deterministic skolem bnodes (same
   chain shape as the Turtle/RDF-XML collection readers);
 - ``@graph`` nodes with sibling properties: the graph node's own
-  properties are emitted in the default graph (JSON-LD expansion).
+  properties are emitted in the default graph (JSON-LD expansion);
+- ``@index`` maps (``@container: @index`` terms iterate the map's VALUES;
+  the index keys are content-free in toRDF and drop, json-ld-api §13) and
+  node-level ``@index`` entries (ignored, same rule);
+- ``@nest`` (JSON-LD 1.1 §9.10): properties under a ``@nest`` value (or a
+  term aliased to ``@nest``) are emitted as properties of the ENCLOSING
+  node.
 
-Unsupported (raises ``ValueError``, never silently drops): ``@index``
-containers, ``@nest`` — absent from the target corpus.
+Unsupported shapes still raise ``ValueError``, never silently drop.
 """
 
 from __future__ import annotations
@@ -114,6 +119,41 @@ def _is_node_object(v: Any) -> bool:
     return isinstance(v, dict) and "@value" not in v
 
 
+def _containers(tdef: dict) -> set[str]:
+    """A term's @container entry may be a string or a list (json-ld 1.1)."""
+    c = tdef.get("@container")
+    if c is None:
+        return set()
+    return set(c) if isinstance(c, list) else {c}
+
+
+def _flatten_entries(node: dict, ctx: _Context, path: str
+                     ) -> list[tuple[str, Any, str]]:
+    """Node entries as (key, value, path) with @nest values hoisted to the
+    enclosing node (JSON-LD 1.1 §9.10) and node-level @index dropped
+    (content-free in toRDF). A list is used because hoisting can surface
+    the same property key from several nests."""
+    items: list[tuple[str, Any, str]] = []
+    for key, raw in node.items():
+        if key == "@index" or ctx.terms.get(key, {}).get("@id") == "@index":
+            continue
+        is_nest = key == "@nest" or \
+            ctx.terms.get(key, {}).get("@id") == "@nest"
+        if is_nest:
+            for i, nd in enumerate(raw if isinstance(raw, list) else [raw]):
+                if not isinstance(nd, dict) or "@value" in nd:
+                    raise ValueError(
+                        f"@nest value must be a node object at {path}.{key}")
+                if any(_keyword_of(ctx, k) == "@id" for k in nd):
+                    raise ValueError(
+                        f"@nest value must not carry @id at {path}.{key}")
+                items.extend(_flatten_entries(nd, ctx,
+                                              f"{path}.{key}[{i}]"))
+            continue
+        items.append((key, raw, path))
+    return items
+
+
 def _keyword_of(ctx: _Context, key: str) -> str | None:
     """Resolve keyword ALIASES (json-ld §4.1.4): a term whose definition is
     a keyword ('iri': '@id', 'typ': '@type') acts as that keyword."""
@@ -171,9 +211,6 @@ def _node(node: dict, ctx: _Context, resolver, out: list[Triple7],
         raise ValueError(f"expected node object at {path}, got {node!r}")
     if "@context" in node:
         ctx = ctx.merged(node["@context"], resolver)
-    if "@index" in node or "@nest" in node:
-        raise ValueError(f"unsupported JSON-LD feature at {path} "
-                         "(@index/@nest)")
     if "@list" in node:
         raise ValueError(f"@list outside a value position at {path}")
     id_key = next((k for k in node if _keyword_of(ctx, k) == "@id"), None)
@@ -187,7 +224,7 @@ def _node(node: dict, ctx: _Context, resolver, out: list[Triple7],
     def emit(pred, lex, kind, dtype="", lang=""):
         out.append((subj, pred, lex, kind, dtype, lang, graph))
 
-    for key, raw in node.items():
+    for key, raw, kpath in _flatten_entries(node, ctx, path):
         kw = _keyword_of(ctx, key)
         if key == "@context" or kw == "@id":
             continue
@@ -197,7 +234,7 @@ def _node(node: dict, ctx: _Context, resolver, out: list[Triple7],
             # enclosing graph
             for i, child in enumerate(
                     raw if isinstance(raw, list) else [raw]):
-                _node(child, ctx, resolver, out, subj, f"{path}.g[{i}]")
+                _node(child, ctx, resolver, out, subj, f"{kpath}.g[{i}]")
             continue
         if kw == "@type":
             for t in raw if isinstance(raw, list) else [raw]:
@@ -209,33 +246,41 @@ def _node(node: dict, ctx: _Context, resolver, out: list[Triple7],
                 for i, v in enumerate(
                         rval if isinstance(rval, list) else [rval]):
                     osubj, _k = _node(v, ctx, resolver, out, graph,
-                                      f"{path}.@reverse.{rkey}[{i}]")
+                                      f"{kpath}.@reverse.{rkey}[{i}]")
                     out.append((osubj, pred, subj,
                                 subj_kind, "", "", graph))
             continue
         if key.startswith("@"):
-            raise ValueError(f"unsupported keyword {key} at {path}")
+            raise ValueError(f"unsupported keyword {key} at {kpath}")
 
         tdef = ctx.term_def(key)
         if "@reverse" in tdef:
             pred = ctx.expand_iri(tdef["@reverse"], vocab=True)
             for i, v in enumerate(raw if isinstance(raw, list) else [raw]):
                 osubj, _k = _node(v, ctx, resolver, out, graph,
-                                  f"{path}.{key}[{i}]")
+                                  f"{kpath}.{key}[{i}]")
                 out.append((osubj, pred, subj, subj_kind, "", "", graph))
             continue
         pred = ctx.expand_iri(key, vocab=True)
-        if tdef.get("@container") == "@language" and isinstance(raw, dict):
+        containers = _containers(tdef)
+        if "@language" in containers and isinstance(raw, dict):
             for lang, lval in raw.items():
                 for v in lval if isinstance(lval, list) else [lval]:
                     emit(pred, str(v), "literal", "", lang)
             continue
-        if tdef.get("@container") == "@list" and not (
+        if "@index" in containers and isinstance(raw, dict):
+            # index map: keys are content-free in toRDF (json-ld-api §13);
+            # each VALUE maps as a normal value of the property
+            vals: list[Any] = []
+            for ival in raw.values():
+                vals.extend(ival if isinstance(ival, list) else [ival])
+            raw = vals
+        if "@list" in containers and not (
                 isinstance(raw, dict) and "@list" in raw):
             raw = {"@list": raw if isinstance(raw, list) else [raw]}
         for i, v in enumerate(raw if isinstance(raw, list) else [raw]):
             _value(v, pred, tdef, ctx, resolver, out, graph,
-                   f"{path}.{key}[{i}]", emit)
+                   f"{kpath}.{key}[{i}]", emit)
     return subj, subj_kind
 
 

@@ -20,10 +20,13 @@ Subset covered (the shapes the W3C CSVW corpus and common vocab dumps use):
   properties of the referenced object), ``rdf:parseType="Resource"``
   (implicit bnode) and ``rdf:parseType="Collection"`` (rdf:first/rest
   chains with deterministic bnode ids);
-- ``xml:base`` resolution for about/resource/ID.
+- ``xml:base`` resolution for about/resource/ID;
+- ``rdf:parseType="Literal"`` → rdf:XMLLiteral-typed literal whose lexical
+  form is ElementTree's deterministic serialization of the content (NOT
+  exclusive canonicalization — documented seam).
 
-Unsupported (raises ``ValueError``): ``rdf:parseType="Literal"``,
-reification attributes (``rdf:bagID``), ``rdf:aboutEach``.
+Unsupported (raises ``ValueError``): reification attributes
+(``rdf:bagID``), ``rdf:aboutEach``.
 """
 
 from __future__ import annotations
@@ -128,7 +131,14 @@ def _property(prop: ET.Element, subj: str, base: str, out: list[Triple7],
     dtype = prop.get(_RDF_NS + "datatype")
 
     if parse_type == "Literal":
-        raise ValueError(f"unsupported rdf:parseType='Literal' at {path}")
+        # XML literal (RDF/XML §2.11): content serializes as the lexical
+        # form, datatype rdf:XMLLiteral. ElementTree's serialization is
+        # deterministic but NOT exclusive-c14n (prefixes may be rewritten
+        # ns0:…) — faithful enough for fixture parity, documented here.
+        inner = (prop.text or "") + "".join(
+            ET.tostring(c, encoding="unicode") for c in prop)
+        emit(pred, inner, "literal", RDF + "XMLLiteral")
+        return
     if parse_type == "Resource":
         b = "_:" + skolem_value("rdfxml-res", path)[:24]
         emit(pred, b, "bnode")

@@ -195,3 +195,57 @@ def test_graph_node_sibling_properties():
     assert ("http://s2", "http://v/p", "v", "literal", "", "", "http://g1") in t
     assert ("http://g1", "http://v/name", "my graph",
             "literal", "", "", "") in t
+
+
+def test_index_container_iterates_values_and_drops_keys():
+    """@container: @index — map VALUES convert as normal property values;
+    index keys are content-free in toRDF (json-ld-api section 13)."""
+    doc = {"@context": {"@vocab": "http://v/",
+                        "post": {"@id": "http://v/post",
+                                 "@container": "@index"}},
+           "@id": "http://s",
+           "post": {"en": {"@id": "http://p1"},
+                    "de": [{"@id": "http://p2"}, "plain"]}}
+    t = jsonld_to_triples(doc)
+    got = {(r[1], r[2], r[3]) for r in t}
+    assert got == {
+        ("http://v/post", "http://p1", "iri"),
+        ("http://v/post", "http://p2", "iri"),
+        ("http://v/post", "plain", "literal"),
+    }
+    assert not any("en" in r[2] or "de" in r[2] for r in t)
+
+
+def test_node_level_index_entry_ignored():
+    doc = {"@context": {"@vocab": "http://v/"},
+           "@id": "http://s", "@index": "ignored", "p": "v"}
+    t = jsonld_to_triples(doc)
+    assert t == [("http://s", "http://v/p", "v", "literal", "", "", "")]
+
+
+def test_nest_properties_hoist_to_enclosing_node():
+    """JSON-LD 1.1 section 9.10: @nest groups properties syntactically; they
+    expand as the PARENT node's own properties (incl. aliased @nest)."""
+    doc = {"@context": {"@vocab": "http://v/",
+                        "meta": "@nest"},
+           "@id": "http://s",
+           "p": "top",
+           "@nest": {"q": "nested", "r": {"@id": "http://o"}},
+           "meta": [{"s": "aliased"}]}
+    t = jsonld_to_triples(doc)
+    got = {(r[0], r[1], r[2]) for r in t}
+    assert got == {
+        ("http://s", "http://v/p", "top"),
+        ("http://s", "http://v/q", "nested"),
+        ("http://s", "http://v/r", "http://o"),
+        ("http://s", "http://v/s", "aliased"),
+    }
+    assert jsonld_to_triples(doc) == t  # deterministic
+
+
+def test_nest_with_id_raises():
+    doc = {"@context": {"@vocab": "http://v/"},
+           "@id": "http://s",
+           "@nest": {"@id": "http://other", "q": "x"}}
+    with pytest.raises(ValueError):
+        jsonld_to_triples(doc)

@@ -70,14 +70,19 @@ def test_deterministic_bnodes():
     assert parse_rdfxml(DOC) == parse_rdfxml(DOC)
 
 
-def test_unsupported_parse_type_literal():
+def test_parse_type_literal_xmlliteral():
+    """rdf:parseType='Literal' (RDF/XML §2.11) → rdf:XMLLiteral-typed
+    literal; lexical form is ET's deterministic serialization."""
     doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
              xmlns:ex="http://e/">
       <rdf:Description rdf:about="http://s">
-        <ex:x rdf:parseType="Literal"><b>markup</b></ex:x>
+        <ex:x rdf:parseType="Literal">pre <b>markup</b> post</ex:x>
       </rdf:Description></rdf:RDF>"""
-    with pytest.raises(ValueError):
-        parse_rdfxml(doc)
+    t = parse_rdfxml(doc)
+    (row,) = [r for r in t if r[1] == "http://e/x"]
+    assert row[3] == "literal" and row[4] == RDF + "XMLLiteral"
+    assert row[2] == "pre <b>markup</b> post"
+    assert parse_rdfxml(doc) == t  # deterministic
 
 
 def test_bare_typed_node_root():
