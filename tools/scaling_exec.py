@@ -64,6 +64,18 @@ WORKLOADS = tuple(
 #: fully compiles it (measured: 4N samples drop 49s → 37s by sample 4);
 #: a long-lived executor runs warm, so warm-up is excluded by protocol
 N_WARM = int(os.environ.get("SCALE_WARMUPS", 2))
+#: SCALE_EQUALIZE=1 → the N level runs with 3 untimed BALLAST workers
+#: (same workload, same pinning as the 4N workers) so both levels measure
+#: under identical machine-wide load. Rationale: on a real cluster every
+#: executor sees the same per-host conditions at N and at 4N; on this ONE
+#: box the idle-machine N baseline enjoys the whole DRAM bandwidth while
+#: the 4N level shares it across 8 active cores — a sandbox artifact of
+#: the same class as the shared disk (fixed: tmpfs) and shared allocator
+#: (fixed: separate JVMs). Measured on the mapping workload: per-worker
+#: pass time inflates from ~36 s (alone) to ~43 s (3 concurrent twins)
+#: with zero code difference. Both protocols are reported in
+#: BENCH/BASELINE.md; equalized isolates the ENGINE's scaling.
+EQUALIZE = os.environ.get("SCALE_EQUALIZE", "0") == "1"
 
 TITLES = {
     "mapping": "CSVW→RDF mapping (lineitem sf0.1 ×4, regex-heavy cells)",
@@ -155,7 +167,10 @@ def worker(spec_path: str) -> None:
         return (df.where(F.col("_shard").isin(shards)).drop("_shard")
                 .repartition(CORES_PER_EXEC * 4).cache())
 
-    out: dict = {"worker_id": wid, "workloads": {}}
+    t_start = time.time()
+    out: dict = {"worker_id": wid, "workloads": {},
+                 "ballast": spec.get("ballast", False),
+                 "trace": {}}   # per-stage wall clock for run forensics
 
     def barrier(tag):
         (SCRATCH / f"ready-{spec['level']}-{tag}-{wid}").touch()
@@ -163,56 +178,91 @@ def worker(spec_path: str) -> None:
         while not go.exists():
             time.sleep(0.1)
 
+    def sample_loop(tag, fn_once):
+        """Barrier, then: timed workers take N_SAMPLES and signal done;
+        BALLAST workers (load-equalized N protocol) loop the same pass
+        untimed until the driver raises the stop flag."""
+        tr = out["trace"].setdefault(tag, {})
+        tr["barrier_enter"] = round(time.time() - t_start, 1)
+        barrier(tag)
+        tr["barrier_exit"] = round(time.time() - t_start, 1)
+        if spec.get("ballast"):
+            stop = SCRATCH / f"stop-{spec['level']}-{tag}"
+            passes = 0
+            while not stop.exists():
+                fn_once()
+                passes += 1
+            tr["ballast_passes"] = passes
+            tr["ballast_done"] = round(time.time() - t_start, 1)
+            return None
+        samples = []
+        for _ in range(N_SAMPLES):
+            t0 = time.time()
+            fn_once()
+            samples.append(round(time.time() - t0, 3))
+        tr["samples_done"] = round(time.time() - t_start, 1)
+        (SCRATCH / f"done-{spec['level']}-{tag}-{wid}").touch()
+        return samples
+
     # --- mapping ---
     if "mapping" in WORKLOADS:
-        _w_mapping(spec, shard_read, out, barrier)
+        _w_mapping(spec, shard_read, out, sample_loop)
     if "turn_mapping" in WORKLOADS:
-        _w_turn(spec, shard_read, out, barrier)
+        _w_turn(spec, shard_read, out, sample_loop)
     if "kg" in WORKLOADS:
-        _w_kg(spec, shard_read, out, barrier)
+        _w_kg(spec, shard_read, out, sample_loop)
     Path(spec["out_path"]).write_text(json.dumps(out))
 
 
-def _w_mapping(spec, shard_read, out, barrier):
+def _w_mapping(spec, shard_read, out, sample_loop):
     import time
     from bench import LINEITEM_DESC
     from csvw_rdf_convertor_spark.plans.csvw2rdf import table_to_triples
     from csvw_rdf_convertor_spark.spec import parse_descriptor
+    tr = out["trace"].setdefault("mapping", {})
+    t0 = time.time()
     li = shard_read("li_corpus")
     li.count()
+    tr["cache_sec"] = round(time.time() - t0, 1)
     tri = table_to_triples(li, parse_descriptor(LINEITEM_DESC).tables[0])
     n_tri = tri.count()              # warm
+    once = lambda: tri.write.format("noop").mode("overwrite").save()  # noqa: E731
+    t0 = time.time()
     for _ in range(N_WARM):
-        tri.write.format("noop").mode("overwrite").save()
-    barrier("mapping")
-    samples = []
-    for _ in range(N_SAMPLES):
-        t0 = time.time()
-        tri.write.format("noop").mode("overwrite").save()
-        samples.append(round(time.time() - t0, 3))
-    out["workloads"]["mapping"] = {"rows": n_tri, "samples": samples}
+        once()
+    tr["warm_sec"] = round(time.time() - t0, 1)
+    # per-action FIXED cost (driver/planning, independent of data size and
+    # of executor count on a real cluster): one noop pass over 0.1% of the
+    # shard — measured ~2.0-2.6 s for this plan on an idle pinned 2-core
+    # JVM; reported so BASELINE.md can show fixed-cost sensitivity
+    tiny = table_to_triples(li.limit(max(li.count() // 1000, 1)),
+                            parse_descriptor(LINEITEM_DESC).tables[0])
+    t0 = time.time()
+    tiny.write.format("noop").mode("overwrite").save()
+    fixed = round(time.time() - t0, 3)
+    samples = sample_loop("mapping", once)
+    if samples is not None:
+        out["workloads"]["mapping"] = {"rows": n_tri, "samples": samples,
+                                       "fixed_cost": fixed}
     li.unpersist()
 
 
-def _w_turn(spec, shard_read, out, barrier):
+def _w_turn(spec, shard_read, out, sample_loop):
     from csvw_rdf_convertor_spark.kg import pipeline
     tm = shard_read("tm_corpus")
     tm.count()
     tt = pipeline.turn_triples(tm)
     n_tt = tt.count()
+    once = lambda: tt.write.format("noop").mode("overwrite").save()  # noqa: E731
     for _ in range(N_WARM):
-        tt.write.format("noop").mode("overwrite").save()
-    barrier("turn_mapping")
-    samples = []
-    for _ in range(N_SAMPLES):
-        t0 = time.time()
-        tt.write.format("noop").mode("overwrite").save()
-        samples.append(round(time.time() - t0, 3))
-    out["workloads"]["turn_mapping"] = {"rows": n_tt, "samples": samples}
+        once()
+    samples = sample_loop("turn_mapping", once)
+    if samples is not None:
+        out["workloads"]["turn_mapping"] = {"rows": n_tt, "samples": samples}
     tm.unpersist()
 
 
-def _w_kg(spec, shard_read, out, barrier):
+def _w_kg(spec, shard_read, out, sample_loop):
     from csvw_rdf_convertor_spark.kg import pipeline
     wid = spec["worker_id"]
     tr = shard_read("kg_corpus")
@@ -221,28 +271,37 @@ def _w_kg(spec, shard_read, out, barrier):
     shutil.rmtree(wdir, ignore_errors=True)
     pipeline.run(tr, str(wdir / "warm"), n_buckets=16, resume=False)  # warm
     shutil.rmtree(wdir, ignore_errors=True)
-    barrier("kg")
-    samples, triples = [], 0
-    for s in range(N_SAMPLES):
-        d = wdir / f"s{s}"
-        t0 = time.time()
+    state = {"i": 0, "triples": 0}
+
+    def once():
+        d = wdir / f"s{state['i']}"
+        state["i"] += 1
         m = pipeline.run(tr, str(d), n_buckets=16, resume=False)
-        samples.append(round(time.time() - t0, 3))
-        triples = m.triples
+        state["triples"] = m.triples
         shutil.rmtree(d, ignore_errors=True)
-    out["workloads"]["kg"] = {"rows": triples, "turns": n_turns,
-                              "samples": samples}
+
+    samples = sample_loop("kg", once)
+    if samples is not None:
+        out["workloads"]["kg"] = {"rows": state["triples"],
+                                  "turns": n_turns, "samples": samples}
 
 
 # ------------------------------- driver -------------------------------------
 
 def run_level(n_execs: int, level: str) -> dict:
-    """Launch n_execs pinned workers; release each barrier when all ready."""
+    """Launch n_execs pinned TIMED workers (+ 3 ballast twins when
+    SCALE_EQUALIZE=1 and n_execs == 1); release each barrier when all are
+    ready, raise the stop flag once every timed worker reports done."""
     procs, outs = [], []
     shard_sets = ([[0, 1, 2, 3]] if n_execs == 1
                   else [[i] for i in range(4)])
-    for w in range(n_execs):
-        spec = {"level": level, "worker_id": w, "shards": shard_sets[w],
+    n_ballast = 3 if (EQUALIZE and n_execs == 1) else 0
+    for w in range(n_execs + n_ballast):
+        ballast = w >= n_execs
+        spec = {"level": level, "worker_id": w,
+                # ballast twins take the same shards the 4N workers 1-3 use
+                "shards": shard_sets[w] if not ballast else [w - n_execs + 1],
+                "ballast": ballast,
                 "out_path": str(SCRATCH / f"out-{level}-{w}.json")}
         sp = SCRATCH / f"spec-{level}-{w}.json"
         sp.write_text(json.dumps(spec))
@@ -252,19 +311,31 @@ def run_level(n_execs: int, level: str) -> dict:
         procs.append(subprocess.Popen(cmd, cwd=REPO,
                                       stdout=subprocess.DEVNULL,
                                       stderr=subprocess.DEVNULL))
-        outs.append(spec["out_path"])
+        if not ballast:
+            outs.append(spec["out_path"])
 
-    # barrier manager: for each workload release go once all ready
+    # barrier manager: release go once ALL (timed + ballast) are ready;
+    # after every timed worker signals done, raise stop so ballast loops
+    # exit and move to the next workload's barrier
     for tag in WORKLOADS:
         while True:
             ready = [f for f in SCRATCH.glob(f"ready-{level}-{tag}-*")]
-            if len(ready) == n_execs:
+            if len(ready) == n_execs + n_ballast:
                 break
             if any(p.poll() is not None and p.returncode != 0
                    for p in procs):
                 raise SystemExit(f"worker died before {tag} barrier")
             time.sleep(0.2)
         (SCRATCH / f"go-{level}-{tag}").touch()
+        while True:
+            done = [f for f in SCRATCH.glob(f"done-{level}-{tag}-*")]
+            if len(done) == n_execs:
+                break
+            if any(p.poll() is not None and p.returncode != 0
+                   for p in procs):
+                raise SystemExit(f"worker died during {tag} samples")
+            time.sleep(0.5)
+        (SCRATCH / f"stop-{level}-{tag}").touch()
     for p in procs:
         if p.wait() != 0:
             raise SystemExit(f"worker failed at level {level}")
@@ -273,7 +344,8 @@ def run_level(n_execs: int, level: str) -> dict:
 
 def summarize(levels: dict) -> dict:
     summary: dict = {"cores_per_executor": CORES_PER_EXEC,
-                     "executors": {"N": 1, "4N": 4}, "raw": levels}
+                     "executors": {"N": 1, "4N": 4},
+                     "load_equalized_N": EQUALIZE, "raw": levels}
     for w in WORKLOADS:
         per_level = {}
         for lvl, data in levels.items():
@@ -282,6 +354,11 @@ def summarize(levels: dict) -> dict:
                       for wk in data["workers"])
             per_level[lvl] = {"rows": rows, "sec": med,
                               "rate": round(rows / med)}
+            fixed = [wk["workloads"][w]["fixed_cost"]
+                     for wk in data["workers"]
+                     if "fixed_cost" in wk["workloads"][w]]
+            if fixed:
+                per_level[lvl]["fixed_cost"] = max(fixed)
         if per_level["N"]["rows"] != per_level["4N"]["rows"]:
             raise SystemExit(
                 f"{w}: output rows differ across levels "
@@ -293,6 +370,9 @@ def summarize(levels: dict) -> dict:
                       "sec_N": per_level["N"]["sec"],
                       "sec_4N": per_level["4N"]["sec"],
                       "efficiency": round(eff, 3)}
+        for lvl in ("N", "4N"):
+            if "fixed_cost" in per_level[lvl]:
+                summary[w][f"fixed_cost_{lvl}"] = per_level[lvl]["fixed_cost"]
     return summary
 
 
@@ -314,6 +394,8 @@ def main():
     (REPO / "BENCH").mkdir(exist_ok=True)
     suffix = "" if set(WORKLOADS) == {"mapping", "turn_mapping", "kg"} \
         else "_" + "_".join(WORKLOADS)
+    if EQUALIZE:
+        suffix += "_eq"
     (REPO / "BENCH" / f"scaling_exec_raw{suffix}.json").write_text(
         json.dumps(summary, indent=2))
     shutil.rmtree(SCRATCH, ignore_errors=True)
