@@ -90,10 +90,25 @@ def resolve_descriptor(csv_url: str, *, cache: FetchCache | None = None,
     if meta is None:
         raw: dict = {"url": csv_url, "tableSchema": {"columns": []}}
     else:
-        raw = cache.load_json(meta)
+        raw = _load_normalized(meta, cache)
         if "url" not in raw and "tables" not in raw:
             raw = {**raw, "url": csv_url}
     return parse_descriptor(raw, base or "")
+
+
+def _load_normalized(meta_url: str, cache: FetchCache) -> dict:
+    """Load a descriptor and run the JSON-LD normalization pass
+    (descriptor_norm.normalize_descriptor), so csvw:-prefixed / full-IRI
+    keys, @value wrappers, and referenced tableSchema/dialect URLs all
+    reach parse_descriptor in compact form."""
+    from pathlib import Path
+
+    from ..descriptor_norm import normalize_descriptor
+
+    raw = cache.load_json(meta_url)
+    meta_dir = str(Path(str(meta_url)).parent)
+    return normalize_descriptor(raw, base=meta_dir, loader=cache.load_json,
+                                url=str(meta_url))
 
 
 def resolve_with_header(csv_url: str, *, cache: FetchCache | None = None,
@@ -111,7 +126,7 @@ def resolve_with_header(csv_url: str, *, cache: FetchCache | None = None,
     if meta is None:
         raw: dict = {"url": csv_url, "tableSchema": {"columns": []}}
     else:
-        raw = cache.load_json(meta)
+        raw = _load_normalized(meta, cache)
         if "url" not in raw and "tables" not in raw:
             raw = {**raw, "url": csv_url}
     ctx_lang = context_language(raw)
