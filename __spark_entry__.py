@@ -129,6 +129,35 @@ SELECT 'urn:nation#nation-' || k, 'urn:nation#n_regionkey', rk, 'literal',
 """
 
 
+def q_csvw2rdf_normalized_descriptor(spark, sf_dir):
+    """S3: the same nation mapping, but the descriptor arrives in messy
+    JSON-LD surface form — full-IRI and csvw:-prefixed keys, @value
+    wrappers, singleton arrays — and is funnelled through
+    descriptor_norm.normalize_descriptor (the reference's jsonld
+    expand→compact round-trip, descriptor.ts:28-104) before compilation.
+    Oracle = the canonical compact mapping's SQL: proves normalization is
+    semantics-preserving end-to-end in the gated path."""
+    from csvw_rdf_convertor_spark.descriptor_norm import normalize_descriptor
+    from csvw_rdf_convertor_spark.spec import CSVW
+
+    desc = {
+        "@context": "http://www.w3.org/ns/csvw",
+        CSVW + "url": {"@value": "urn:nation"},
+        "csvw:tableSchema": {
+            "csvw:aboutUrl": "#nation-{n_nationkey}",
+            CSVW + "column": [
+                {"csvw:name": ["n_nationkey"],
+                 "csvw:datatype": {"@value": "integer"}},
+                {CSVW + "name": "n_name", "csvw:datatype": "string"},
+                {"csvw:name": "n_regionkey", CSVW + "datatype": "integer"},
+            ],
+        },
+    }
+    table = with_order(parse_descriptor(normalize_descriptor(desc)).tables[0],
+                       "n_nationkey")
+    return table_to_triples(_p(spark, sf_dir, "nation"), table).select(*TRIPLE_OUT)
+
+
 def q_csvw2rdf_datetime_orders(spark, sf_dir):
     """P6: dateTime parsing + ISO canonicalization of order dates."""
     desc = {
@@ -338,6 +367,60 @@ SELECT 'urn:cust#cust-' || name_enc,
        'urn:cust#segShort',
        'urn:seg:' || substr(c_mktsegment, 1, 4) || '/' || name_enc
 FROM enc
+"""
+
+
+def _nation_quads(spark, sf_dir):
+    """Nation triples with a named-graph column (parity of the nationkey
+    splits them across two graphs) — shared input of the writer gates."""
+    tri = q_csvw2rdf_minimal_nation(spark, sf_dir)
+    k = F.regexp_extract("subj", r"nation-(\d+)$", 1).cast("int")
+    return tri.withColumn(
+        "graph", F.concat(F.lit("urn:g"), (k % 2).cast("string")))
+
+
+def q_trig_roundtrip(spark, sf_dir):
+    """S5 writers under the hash gate: nation quads → pretty TriG document
+    (driver-side, fixture-scale by design — loaders/serialize.ts:44-60) →
+    reparse with the TriG parser → triples DF. Oracle = the mapping SQL
+    with the same graph assignment: proves writer+parser are a lossless
+    pair on named graphs, typed literals and prefix compaction."""
+    import os
+    import tempfile
+
+    from csvw_rdf_convertor_spark.sources.turtle import to_pretty_trig
+    from csvw_rdf_convertor_spark.sources.turtle_parse import read_turtle
+
+    doc = to_pretty_trig(_nation_quads(spark, sf_dir))
+    path = os.path.join(tempfile.mkdtemp(prefix="trig_rt_"), "doc.trig")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(doc)
+    return read_turtle(spark, path).select(*TRIPLE_OUT, "graph")
+
+
+def q_jsonld_write_roundtrip(spark, sf_dir):
+    """S5 writers under the hash gate, JSON-LD direction: the same nation
+    quads → compacted JSON-LD document (loaders/serialize.ts:62-66) →
+    reparse with the JSON-LD reader → triples DF."""
+    import os
+    import tempfile
+
+    from csvw_rdf_convertor_spark.sources.jsonld import read_jsonld
+    from csvw_rdf_convertor_spark.sources.jsonld_write import to_jsonld
+
+    doc = to_jsonld(_nation_quads(spark, sf_dir))
+    path = os.path.join(tempfile.mkdtemp(prefix="jsonld_rt_"), "doc.jsonld")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(doc)
+    return read_jsonld(spark, path).select(*TRIPLE_OUT, "graph")
+
+
+SQL_WRITER_ROUNDTRIP = f"""
+WITH t AS ({SQL_MINIMAL_NATION})
+SELECT subj, pred, obj_lex, obj_kind, obj_dtype, obj_lang,
+       'urn:g' || CAST(CAST(regexp_extract(subj, 'nation-(\\d+)$', 1) AS INT)
+                       % 2 AS VARCHAR) AS graph
+FROM t
 """
 
 
@@ -1528,12 +1611,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # CSVW→RDF engine (SURVEY §2.2–2.3)
         "csvw2rdf_minimal_nation": q_csvw2rdf_minimal_nation,
+        "csvw2rdf_normalized_descriptor": q_csvw2rdf_normalized_descriptor,
         "csvw2rdf_datetime_orders": q_csvw2rdf_datetime_orders,
         "csvw2rdf_standard_region": q_csvw2rdf_standard_region,
         "csvw2rdf_list_split": q_csvw2rdf_list_split,
         "csvw2rdf_rdf_list": q_csvw2rdf_rdf_list,
         "cell_bool_null_default": q_cell_bool_null_default,
         "uri_template_encoding": q_uri_template_encoding,
+        "trig_roundtrip": q_trig_roundtrip,
+        "jsonld_write_roundtrip": q_jsonld_write_roundtrip,
         "kg_turn_triples": q_kg_turn_triples,
         # joins / aggs / windows / set ops (§2.4–2.7)
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1580,12 +1666,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "csvw2rdf_minimal_nation": SQL_MINIMAL_NATION,
+        "csvw2rdf_normalized_descriptor": SQL_MINIMAL_NATION,
         "csvw2rdf_datetime_orders": SQL_DATETIME_ORDERS,
         "csvw2rdf_standard_region": SQL_STANDARD_REGION,
         "csvw2rdf_list_split": SQL_LIST_SPLIT,
         "csvw2rdf_rdf_list": SQL_RDF_LIST,
         "cell_bool_null_default": SQL_CELL_BOOL,
         "uri_template_encoding": SQL_URI_ENCODING,
+        "trig_roundtrip": SQL_WRITER_ROUNDTRIP,
+        "jsonld_write_roundtrip": SQL_WRITER_ROUNDTRIP,
         "kg_turn_triples": SQL_KG_TURNS,
         "q1_pricing_summary": SQL_Q1,
         "q3_top_orders": SQL_Q3,
