@@ -20,6 +20,28 @@ from pyspark.sql import functions as F
 from ..spec import RDF, XSD, DatatypeSpec
 
 RDF_TYPE = RDF + "type"
+
+#: Disconnected pattern roots (distinct subject variables sharing no join
+#: column) take a SPARQL-semantics cartesian product. That is correct by
+#: spec but only reachable from a degenerate descriptor, and a cartesian of
+#: two data-sized frames is quadratic — a scale-killer at 100 TB. Refuse
+#: when BOTH sides exceed this many rows (one small side is a broadcast
+#: nested loop, which is fine).
+CARTESIAN_GUARD_ROWS = 100_000
+
+
+def _guarded_cross(left: DataFrame, right: DataFrame) -> DataFrame:
+    n_l = left.limit(CARTESIAN_GUARD_ROWS + 1).count()
+    n_r = right.limit(CARTESIAN_GUARD_ROWS + 1).count()
+    if n_l > CARTESIAN_GUARD_ROWS and n_r > CARTESIAN_GUARD_ROWS:
+        raise ValueError(
+            "disconnected query roots produce a cartesian product of two "
+            f"frames each larger than {CARTESIAN_GUARD_ROWS} rows — "
+            "restructure the descriptor so the tables share a join variable "
+            "(aboutUrl/valueUrl template), or pre-filter the graph")
+    return left.crossJoin(right)
+
+
 LABEL_PREDS = (
     "http://www.w3.org/2004/02/skos/core#prefLabel",
     "http://www.w3.org/2000/01/rdf-schema#label",
@@ -540,7 +562,7 @@ def match_table_query(triples: DataFrame, out_cols: list[CompiledColumn],
             by_var[r.subj_var] = s if prev is None else prev.unionByName(s)
         for s in by_var.values():
             s = s.distinct()
-            out = s if out is None else out.crossJoin(s)
+            out = s if out is None else _guarded_cross(out, s)
     for r in ordered:
         rf = frame(r)
         if out is None:
@@ -548,7 +570,8 @@ def match_table_query(triples: DataFrame, out_cols: list[CompiledColumn],
         else:
             shared = sorted(set(out.columns) & set(rf.columns))
             how = "inner" if r.required else "left"
-            out = out.join(rf, shared, how) if shared else out.crossJoin(rf)
+            out = (out.join(rf, shared, how) if shared
+                   else _guarded_cross(out, rf))
     assert out is not None
 
     exprs = []

@@ -184,3 +184,20 @@ def test_all_optional_seed_keeps_type_constraint(spark):
         .withColumn("graph", F.lit("")))
     out = rdf2csvw.match_table_query(t, cols, roots)
     assert {r.subj for r in out.collect()} == {"urn:item#7"}
+
+
+def test_cartesian_guard_refuses_two_big_sides(spark, monkeypatch):
+    """Disconnected-root cartesians are refused when both sides are
+    data-sized (plans/rdf2csvw._guarded_cross; VERDICT r3 scale note)."""
+    import pytest
+
+    from csvw_rdf_convertor_spark.plans import rdf2csvw as mod
+
+    monkeypatch.setattr(mod, "CARTESIAN_GUARD_ROWS", 5)
+    big = spark.range(10).toDF("a")
+    big2 = spark.range(10).toDF("b")
+    small = spark.range(2).toDF("c")
+    # one small side: broadcast nested loop, allowed
+    assert mod._guarded_cross(big, small).count() == 20
+    with pytest.raises(ValueError, match="cartesian"):
+        mod._guarded_cross(big, big2)
