@@ -27,6 +27,7 @@ Multi-executor scaling evidence (BENCH/BASELINE.md): tools/scaling_exec.py
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import statistics
@@ -107,10 +108,24 @@ def bench_queries(spark, sf_dir: str, cpus: int, samples: int = 0):
         counts[name] = df.count()
         cold[name] = round(time.time() - t0, 3)
         reps = []
-        for _ in range(samples):
+        # sub-2s queries: per-invocation scheduler/GC jitter (~±0.3 s on a
+        # 2-core JVM) dominates a single run, so each SAMPLE is the mean of
+        # a batch sized to ≥2 s of work — ratio-stable across back-to-back
+        # bench runs where raw sub-second timings are not (r4 measured q1
+        # 0.55 vs 1.07 s run-to-run; batched ≤ ±20%). Batch is calibrated
+        # from one steady probe run (the cold run includes compile).
+        batch = 1
+        if samples:
             t0 = time.time()
             df.count()
-            reps.append(round(time.time() - t0, 3))
+            probe = max(time.time() - t0, 0.05)
+            if probe < 2.0:
+                batch = int(math.ceil(2.0 / probe))
+        for _ in range(samples):
+            t0 = time.time()
+            for _ in range(batch):
+                df.count()
+            reps.append(round((time.time() - t0) / batch, 3))
         spread[name] = reps
         times[name] = round(statistics.median(reps), 3) if reps else cold[name]
 
