@@ -56,7 +56,7 @@ _ALIASES = {
 #: Terms whose values the W3C context marks ``@container: @set`` (arrays
 #: survive compaction) — singleton lists are NOT collapsed for these.
 _SET_TERMS = {"tables", "columns", "foreignKeys", "notes", "transformations",
-              "rows", "describes", "null", "titles", "@type", "lineage"}
+              "rows", "describes", "null", "titles", "lineage"}
 
 #: ``@type`` values the reference accepts besides absolute IRIs
 #: (descriptor.ts:127-136).
@@ -190,7 +190,7 @@ def _compact_keys(obj: Any) -> Any:
             out[key] = val
             continue
         if key == "@type":
-            out[key] = _compact_value(None, _compact_type(val))
+            out[key] = _compact_value("@type", _compact_type(val))
             continue
         short = _short_key(key)
         if short is not None:

@@ -211,3 +211,10 @@ def test_resolve_descriptor_accepts_prefixed_metadata(tmp_path):
     names = [c.name for c in spec.tables[0].columns]
     assert names == ["a", "b"]
     assert spec.tables[0].columns[0].datatype.base == "integer"
+
+
+def test_singleton_type_list_collapses():
+    out = normalize_descriptor({"@type": [CSVW + "Table"], "url": "x.csv"})
+    assert out["@type"] == "Table"
+    out2 = normalize_descriptor({"@type": ["Table", "TableGroup"]})
+    assert out2["@type"] == ["Table", "TableGroup"]
