@@ -77,6 +77,69 @@ LINEITEM_DESC = {
 }
 
 
+def _lineitem_mapping_input(spark, sf_dir: str, cpus: int):
+    """The stringly-typed lineitem frame the mapping benchmarks convert."""
+    from pyspark.sql import functions as F
+    return (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .repartition(cpus)
+            .select(
+                F.col("l_orderkey").cast("string").alias("l_orderkey"),
+                F.col("l_linenumber").cast("string").alias("l_linenumber"),
+                F.col("l_quantity").cast("string").alias("l_quantity"),
+                F.col("l_extendedprice").cast("string").alias("l_extendedprice"),
+                "l_returnflag", "l_linestatus",
+                F.date_format("l_shipdate",
+                              "yyyy-MM-dd HH:mm:ss").alias("l_shipdate")))
+
+
+def _fingerprint(df) -> dict:
+    """Physical-plan shape summary (regression guard, ROADMAP #10): the
+    mapping plans must stay narrow — their ONLY shuffle is the deliberate
+    input ``repartition(cpus)`` that models a many-file cluster scan, and
+    the projection must stay inside whole-stage codegen (a janino fallback
+    is correct but ~3× slower and would silently poison round-over-round
+    comparisons)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "shuffle_exchanges": sum(plan.count(p) for p in (
+            "Exchange hashpartitioning", "Exchange rangepartitioning",
+            "Exchange RoundRobinPartitioning", "Exchange SinglePartition")),
+        "broadcast_exchanges": plan.count("BroadcastExchange"),
+        "cartesian": "CartesianProduct" in plan,
+        # codegen stages print as "*(n) Op" in the tree format (the literal
+        # "WholeStageCodegen" header only appears in formatted mode)
+        "wholestage_codegen": "*(" in plan or "WholeStageCodegen" in plan,
+    }
+
+
+def plan_fingerprints(spark, sf_dir: str, cpus: int) -> dict:
+    """Plan-only (nothing executes): fingerprints for the two headline
+    mapping queries + a regression verdict. Expected shape: exactly 1
+    shuffle (the input-model repartition), codegen alive, no cartesian."""
+    from csvw_rdf_convertor_spark.functions.ntriples import to_ntriples_lines
+    from csvw_rdf_convertor_spark.plans.csvw2rdf import table_to_triples
+    from csvw_rdf_convertor_spark.spec import parse_descriptor
+
+    # AQE hides WholeStageCodegen spans in the pre-execution plan string;
+    # nothing executes here, so plan without it for the fingerprint
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        li = _lineitem_mapping_input(spark, sf_dir, cpus)
+        tbl = parse_descriptor(LINEITEM_DESC).tables[0]
+        fps = {
+            "csvw2rdf_lineitem": _fingerprint(table_to_triples(li, tbl)),
+            "ntriples_serialize": _fingerprint(
+                to_ntriples_lines(table_to_triples(li, tbl))),
+        }
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    ok = all(f["shuffle_exchanges"] == 1 and f["wholestage_codegen"]
+             and not f["cartesian"] for f in fps.values())
+    fps["regression"] = not ok
+    return fps
+
+
 def bench_queries(spark, sf_dir: str, cpus: int, samples: int = 0):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -133,13 +196,7 @@ def bench_queries(spark, sf_dir: str, cpus: int, samples: int = 0):
     rp("nation").count()
 
     # 1. CSVW→RDF mapping over the widest table (the engine's core path)
-    li = rp("lineitem").select(
-        F.col("l_orderkey").cast("string").alias("l_orderkey"),
-        F.col("l_linenumber").cast("string").alias("l_linenumber"),
-        F.col("l_quantity").cast("string").alias("l_quantity"),
-        F.col("l_extendedprice").cast("string").alias("l_extendedprice"),
-        "l_returnflag", "l_linestatus",
-        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate"))
+    li = _lineitem_mapping_input(spark, sf_dir, cpus)
     run("csvw2rdf_lineitem",
         table_to_triples(li, parse_descriptor(LINEITEM_DESC).tables[0]))
 
@@ -269,6 +326,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     l_times, l_counts, _l_cold, _ = bench_queries(spark, sf_dir, cpus,
                                                   samples=0)
+    fps = plan_fingerprints(spark, sf_dir, cpus)
 
     if pinned is not None:
         times, counts = pinned["queries"], pinned["counts"]
@@ -295,6 +353,7 @@ def main():
             "local32_queries": l_times,
             "local32_kg_triples_per_sec": _tps(l_counts, l_times,
                                                "kg_pipeline_end2end"),
+            "plan_fingerprints": fps,
         }
     else:
         out = {
@@ -311,6 +370,7 @@ def main():
                                        "kg_pipeline_end2end"),
             "mapping_triples_per_sec": _tps(l_counts, l_times,
                                             "csvw2rdf_lineitem"),
+            "plan_fingerprints": fps,
         }
     print(json.dumps(out))
 

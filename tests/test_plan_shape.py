@@ -72,6 +72,20 @@ def test_ivf_assign_has_no_corpus_exchange(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_bench_mapping_fingerprint_is_narrow(spark):
+    """bench.py's headline mapping plans must keep exactly one shuffle (the
+    deliberate input-model repartition), stay inside whole-stage codegen,
+    and never go cartesian — the fingerprint bench.py also emits per round
+    (ROADMAP #10)."""
+    import bench
+    fps = bench.plan_fingerprints(spark, SF, 4)
+    assert fps["regression"] is False, fps
+    for name in ("csvw2rdf_lineitem", "ntriples_serialize"):
+        assert fps[name]["shuffle_exchanges"] == 1, (name, fps[name])
+        assert fps[name]["wholestage_codegen"], (name, fps[name])
+        assert not fps[name]["cartesian"], (name, fps[name])
+
+
 def test_minhash_band_exchange_carries_ids_only(spark):
     """The 16× band fan-out must not duplicate shingle/signature arrays
     through the shuffle (VERDICT r01 'what's wrong' #3): every Exchange that
