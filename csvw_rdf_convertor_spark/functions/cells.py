@@ -347,17 +347,18 @@ def _extract_tz(value: Column) -> tuple[Column, Column]:
     return local, norm
 
 
-def parse_datetime(value: Column, dt: DatatypeSpec) -> Column:
-    """Canonical ISO lexical form for date/time/dateTime(+Stamp) cells.
+def datetime_parts(value: Column, dt: DatatypeSpec) -> dict[str, Column]:
+    """Pre-parse intermediates of the datetime pipeline: the parsed ``ts``
+    timestamp and the normalized original ``tz`` offset string.
 
-    Canonical shapes (reference: convertor.ts:1068-1090): date ``yyyy-MM-dd``;
-    time ``HH:mm:ss[.fff]``; dateTime ``yyyy-MM-dd'T'HH:mm:ss[.fff]`` — each
-    with the *original* timezone offset appended if one was given.
-    """
+    Exposed separately (like :func:`numeric_parts`) so plan builders can
+    materialize them as real columns — the canonicalization references
+    ``ts`` ~5 times and each inline copy duplicates the whole
+    tz-split + parse-dispatch subtree; the duplication is what pushes the
+    fused mapping stage past janino's 64 KB per-method limit."""
     base = "dateTime" if dt.base == "datetime" else dt.base
     fmt = dt.format if isinstance(dt.format, str) else None
     local, tz = _extract_tz(value)
-    has_tz = tz != ""
 
     if fmt:
         fmt_local, _ = _split_tz_pattern(fmt)
@@ -366,18 +367,47 @@ def parse_datetime(value: Column, dt: DatatypeSpec) -> Column:
     elif base == "date":
         ts = F.try_to_timestamp(local, F.lit("yyyy-MM-dd"))
     elif base == "time":
-        ts = F.coalesce(
-            F.try_to_timestamp(local, F.lit("HH:mm:ss.SSSSSS")),
-            F.try_to_timestamp(local, F.lit("HH:mm:ss.SSS")),
-            F.try_to_timestamp(local, F.lit("HH:mm:ss")),
+        # shape-dispatch on cheap regexes so exactly ONE parse attempt runs:
+        # a coalesce of try_to_timestamp calls costs a caught Java parse
+        # exception per non-matching pattern per row (measured: one datetime
+        # column ≈ 6× the cost of an integer column, dominated by the misses)
+        ts = (
+            F.when(local.rlike(r"\.\d{6}$"),
+                   F.try_to_timestamp(local, F.lit("HH:mm:ss.SSSSSS")))
+            .when(local.rlike(r"\.\d{3}$"),
+                  F.try_to_timestamp(local, F.lit("HH:mm:ss.SSS")))
+            .otherwise(F.try_to_timestamp(local, F.lit("HH:mm:ss")))
         )
     else:
-        ts = F.coalesce(
-            F.try_to_timestamp(local, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
-            F.try_to_timestamp(local, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
-            F.try_to_timestamp(local, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
-            F.try_to_timestamp(local, F.lit("yyyy-MM-dd HH:mm:ss")),
+        ts = (
+            F.when(local.rlike(r"\.\d{6}$"),
+                   F.try_to_timestamp(local, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
+            .when(local.rlike(r"\.\d{3}$"),
+                  F.try_to_timestamp(local, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS")))
+            .when(local.contains("T"),
+                  F.try_to_timestamp(local, F.lit("yyyy-MM-dd'T'HH:mm:ss")))
+            .otherwise(F.try_to_timestamp(local, F.lit("yyyy-MM-dd HH:mm:ss")))
         )
+    return {"ts": ts, "tz": tz}
+
+
+def parse_datetime(value: Column, dt: DatatypeSpec) -> Column:
+    """Canonical ISO lexical form for date/time/dateTime(+Stamp) cells.
+
+    Canonical shapes (reference: convertor.ts:1068-1090): date ``yyyy-MM-dd``;
+    time ``HH:mm:ss[.fff]``; dateTime ``yyyy-MM-dd'T'HH:mm:ss[.fff]`` — each
+    with the *original* timezone offset appended if one was given.
+    """
+    p = datetime_parts(value, dt)
+    return parse_datetime_from_parts(value, p["ts"], p["tz"], dt)
+
+
+def parse_datetime_from_parts(value: Column, ts: Column, tz: Column,
+                              dt: DatatypeSpec) -> Column:
+    """The datetime canonicalization proper, over (ideally attribute)
+    intermediates — see :func:`datetime_parts`."""
+    base = "dateTime" if dt.base == "datetime" else dt.base
+    has_tz = tz != ""
 
     frac = F.regexp_replace(F.date_format(ts, ".SSS"), r"0+$", "")
     frac = F.when(frac == ".", F.lit("")).otherwise(frac)
@@ -472,6 +502,40 @@ def parse_datatype(value: Column, dt: DatatypeSpec) -> Column:
     return validate_other(value, dt)
 
 
+def scalar_parse_parts(v: Column, col: ColumnSpec) -> dict[str, Column] | None:
+    """Heavily-referenced intermediates of the scalar datatype parse, for
+    plan builders to materialize as REAL COLUMNS between the normalize and
+    parse projections (None when the column has nothing stage-able:
+    separator cells — the parts would be per-item —, the LDML pandas-UDF
+    path, and bases whose parse is a single cheap expression).
+
+    Without this staging the parse subtrees are duplicated at every
+    reference inside one generated method; on a 7-column table the decimal
+    canonicalization alone grew ONE janino method past 64 KB and the whole
+    fused mapping stage silently fell back to interpreted execution."""
+    dt = col.datatype
+    if col.separator is not None:
+        return None
+    if dt.base in NUMERIC_TYPES:
+        if _number_format_opts(dt.format)[2] is not None:
+            return None  # LDML pattern path is a pandas UDF
+        return numeric_parts(v, dt)
+    if dt.base in DATE_TYPES or dt.base == "dateTimeStamp":
+        return datetime_parts(v, dt)
+    return None
+
+
+def parse_scalar_from_parts(v: Column, col: ColumnSpec,
+                            parts: dict[str, Column]) -> Column:
+    """Scalar datatype parse over staged intermediates (see
+    :func:`scalar_parse_parts`)."""
+    dt = col.datatype
+    if dt.base in NUMERIC_TYPES:
+        return parse_number_from_parts(v, parts["core"], parts["pct"],
+                                       parts["pml"], parts["grp_ok"], dt)
+    return parse_datetime_from_parts(v, parts["ts"], parts["tz"], dt)
+
+
 # --- full cell pipeline ------------------------------------------------------
 
 def cell_norm(raw: Column, col: ColumnSpec) -> Column:
@@ -503,9 +567,12 @@ def cell_values(raw: Column, col: ColumnSpec) -> Column:
     return cell_values_from_norm(cell_norm(raw, col), col)
 
 
-def cell_values_from_norm(v: Column, col: ColumnSpec) -> Column:
+def cell_values_from_norm(v: Column, col: ColumnSpec,
+                          parts: dict[str, Column] | None = None) -> Column:
     """P3–P10 over an already-normalized cell string (ideally an attribute —
-    see :func:`cell_norm`)."""
+    see :func:`cell_norm`). ``parts``: staged parse intermediates from
+    :func:`scalar_parse_parts` (plan builders that control projections
+    should materialize them as columns; see why in its docstring)."""
     base = col.datatype.base
     null_check = v.isin(*col.null) if col.null else F.lit(False)       # P3
 
@@ -516,6 +583,8 @@ def cell_values_from_norm(v: Column, col: ColumnSpec) -> Column:
             items = F.transform(items, lambda x: F.trim(x))
         items = F.filter(items, lambda x: ~x.isin(*col.null) if col.null else F.lit(True))
         parsed = F.transform(items, lambda x: parse_datatype(x, col.datatype))
+    elif parts is not None:
+        parsed = F.array(parse_scalar_from_parts(v, col, parts))
     else:
         parsed = F.array(parse_datatype(v, col.datatype))
 

@@ -36,6 +36,7 @@ _SRC_ROW = "__source_row"
 _EMPTY_TRIPLES = "array<struct<subj:string,pred:string,obj_lex:string,obj_kind:string,obj_dtype:string,obj_lang:string,graph:string>>"
 
 
+
 def _resolve_url(table: TableSpec) -> str:
     return expand_iri(table.url, table.base) if table.base else table.url
 
@@ -146,9 +147,33 @@ def _object_parts(col: ColumnSpec, item: Column, table: TableSpec,
     return literal_object(lex, dtype, lang)
 
 
+def _object_parts_scalar(col: ColumnSpec, lex: Column, inv: Column,
+                         table: TableSpec, record: dict[str, Column]):
+    """T4 over PRE-STAGED (stripped-lexical, invalid-flag) attributes — the
+    scalar-cell fast path. Semantically identical to :func:`_object_parts`
+    with ``item = element_at(values, 1)``; referencing two cheap attributes
+    instead of five copies of the element_at/strip CASE tree keeps the
+    explode expression's generated code under janino's 64 KB per-method
+    limit (see ``table_to_triples`` docstring — past that limit the WHOLE
+    fused mapping stage silently falls back to interpreted execution)."""
+    url = _resolve_url(table)
+    if col.valueUrl:
+        rec = dict(record)
+        rec[col.name] = lex
+        if "{" in col.valueUrl:
+            return iri_object(compile_template(col.valueUrl, rec, base=url))
+        return iri_object(F.lit(expand_iri(col.valueUrl, url)))
+    dtype_iri = col.datatype.iri
+    dtype = F.when(inv, F.lit(XSD + "string")).otherwise(F.lit(dtype_iri))
+    lang = F.lit(col.lang or "") if dtype_iri == XSD + "string" else F.lit("")
+    lang = F.when(inv, F.lit("")).otherwise(lang)
+    return literal_object(lex, dtype, lang)
+
+
 def _column_triples(col: ColumnSpec, values: Column, table: TableSpec,
                     record: dict[str, Column],
-                    subjects: dict[str | None, Column] | None = None) -> Column:
+                    subjects: dict[str | None, Column] | None = None,
+                    scalar: tuple[Column, Column] | None = None) -> Column:
     """array<triple-struct> for one column of one row (≤1 per value; a chain
     of 2·n+1 for ordered lists, T6 convertor.ts:836-854)."""
     url = _resolve_url(table)
@@ -178,6 +203,14 @@ def _column_triples(col: ColumnSpec, values: Column, table: TableSpec,
             F.when(i == n - 1, F.lit("iri")).otherwise(F.lit("bnode")),
             F.lit(""), F.lit("")))
         out = F.concat(F.array(head), firsts, rests)
+    elif col.separator is None and scalar is not None:
+        # scalar cell (the overwhelmingly common case): exactly one element,
+        # whose stripped lexical + invalid flag arrive as staged attributes
+        lex, inv = scalar
+        out = F.array(triple(subj, pred,
+                             *_object_parts_scalar(col, lex, inv, table, record)))
+    elif col.separator is None:
+        out = F.array(value_triple(F.element_at(values, 1)))
     else:
         out = F.transform(values, value_triple)
 
@@ -220,7 +253,7 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
     # CollapseProject keeps 1a/1b separate: the norm producers are non-cheap
     # and multiply referenced.
     cell_col: dict[str, str] = {}
-    stage1a, stage1b = [], []
+    stage1a, stage1a2, stage1b = [], [], []
     for i, col in enumerate(table.columns):
         cname = f"__cell_{i}"
         cell_col[col.name] = cname
@@ -234,10 +267,25 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
             raise KeyError(f"source column {src!r} for {col.name!r} not in DataFrame")
         nname = f"__norm_{i}"
         stage1a.append(cells.cell_norm(F.col(src), col).alias(nname))
+        # stage 1a2: heavy parse intermediates (numeric core/flags, datetime
+        # ts/tz) as real columns — inlined, their subtrees duplicate at every
+        # reference and ONE generated method (janino caps methods at 64 KB)
+        # grows past the limit, silently demoting the WHOLE fused mapping
+        # stage to interpreted execution (measured 5-10×)
+        parts = cells.scalar_parse_parts(F.col(nname), col)
+        if parts is not None:
+            names = {}
+            for k, expr in parts.items():
+                pname = f"__p{i}_{k}"
+                stage1a2.append(expr.alias(pname))
+                names[k] = pname
+            parts = {k: F.col(n) for k, n in names.items()}
         stage1b.append(
-            cells.cell_values_from_norm(F.col(nname), col).alias(cname))
+            cells.cell_values_from_norm(F.col(nname), col, parts).alias(cname))
     if stage1a:
         df = df.select("*", *stage1a)
+    if stage1a2:
+        df = df.select("*", *stage1a2)
     df = df.select("*", *stage1b)
 
     # stage 2: row-record bindings (template variables) as columns
@@ -273,12 +321,35 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
     df = df.select("*", *stage3)
     subjects: dict[str | None, Column] = {k: F.col(v) for k, v in subj_col.items()}
 
+    # stage 3.5: per scalar (non-separator) column, the stripped lexical and
+    # invalid flag as real columns. The triple structs in the explode then
+    # reference two cheap attributes instead of five copies of the
+    # element_at/strip CASE tree — without this the Generate's fused
+    # expression exceeds janino's 64 KB per-method limit and Spark silently
+    # runs the ENTIRE mapping stage interpreted (measured 5-10× slower; the
+    # "Whole-stage codegen disabled for plan" WARN is the only symptom).
+    stage35 = []
+    scalar_col: dict[str, tuple[str, str]] = {}
+    for i, col in enumerate(table.columns):
+        if col.suppressOutput or col.separator is not None:
+            continue
+        item = F.element_at(F.col(cell_col[col.name]), 1)
+        stage35.append(cells.strip_invalid(item).alias(f"__lex_{i}"))
+        stage35.append(cells.is_invalid(item).alias(f"__inv_{i}"))
+        scalar_col[col.name] = (f"__lex_{i}", f"__inv_{i}")
+    if stage35:
+        df = df.select("*", *stage35)
+
+    def _scalar(col: ColumnSpec) -> tuple[Column, Column] | None:
+        names = scalar_col.get(col.name)
+        return (F.col(names[0]), F.col(names[1])) if names else None
+
     per_col = [
         _column_triples(col, parsed[col.name], table,
                         {**record, "_name": F.lit(col.name),
                          "_column": F.lit(str(i + 1)),
                          "_sourceColumn": F.lit(str(i + 1 + table.dialect.skipColumns))},
-                        subjects=subjects)
+                        subjects=subjects, scalar=_scalar(col))
         for i, col in enumerate(table.columns) if not col.suppressOutput
     ]
 
