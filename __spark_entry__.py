@@ -914,6 +914,32 @@ FROM h GROUP BY simhash HAVING COUNT(*) > 1
 SQL_DEDUP_SIMHASH = _sql_simhash()
 
 
+def q_dedup_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole banding (k+1
+    hex slices) + exact verify (ops/dedup.simhash_hamming_pairs)."""
+    docs = _p(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(docs, k=3, hash_family="md5")
+
+
+def _sql_simhash_hamming(k: int = 3) -> str:
+    """Brute-force oracle: same md5 simhash CTE, all-pairs Hamming via
+    per-nibble XOR popcount (banding is a recall-lossless optimization, so
+    the exhaustive result is identical)."""
+    head = _sql_simhash().split("SELECT simhash")[0]
+    ham = " + ".join(
+        f"bit_count(xor(('0x'||substr(a.simhash,{i},1))::BIGINT, "
+        f"('0x'||substr(b.simhash,{i},1))::BIGINT))"
+        for i in range(1, 17))
+    return f"""{head}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, ({ham})::INTEGER AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE ({ham}) <= {k}
+"""
+
+
+SQL_DEDUP_SIMHASH_HAMMING = _sql_simhash_hamming()
+
+
 def q_sim_topk_bruteforce(spark, sf_dir):
     """Exact cosine top-5 for 10 deterministic query vectors."""
     emb = _p(spark, sf_dir, "embeddings")
@@ -1644,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": q_dedup_normalized,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -1697,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_normalized": SQL_DEDUP_NORMALIZED,
         "dedup_minhash_pairs": SQL_DEDUP_MINHASH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_simhash_hamming": SQL_DEDUP_SIMHASH_HAMMING,
         "sim_topk_bruteforce": SQL_SIM_TOPK,
         "sim_lsh_topk": SQL_SIM_LSH_TOPK,
         "sim_ivf_topk": SQL_SIM_IVF_TOPK,

@@ -261,6 +261,171 @@ def load_referenced_subdescriptors(raw: dict, loader: Loader,
             obj[key] = _compact_keys(sub)
 
 
+# --- post-compaction structural validation (validation/*.ts) ----------------
+
+def _is_lang_tag(k: str) -> bool:
+    return k == "@none" or bool(_BCP47.match(k))
+
+
+def _valid_titles(val: Any) -> bool:
+    """langMapArraySchema (validation/generic.ts:164-177)."""
+    if isinstance(val, str):
+        return True
+    if isinstance(val, list):
+        return all(isinstance(v, str) for v in val)
+    if isinstance(val, dict):
+        return all(
+            isinstance(k, str) and _is_lang_tag(k)
+            and (isinstance(v, str)
+                 or (isinstance(v, list)
+                     and all(isinstance(x, str) for x in v)))
+            for k, v in val.items())
+    return False
+
+
+def _drop(obj: dict, key: str, issues: list[Issue], loc: str) -> None:
+    issues.append(Issue("warning", "", loc,
+                        f"Invalid value for {key}: {obj[key]!r}"))
+    del obj[key]
+
+
+#: dialect property → type/validate (validation/dialect.ts:12-51); invalid →
+#: warning + delete, so DialectSpec defaults apply.
+_DIALECT_CHECKS: dict[str, Callable[[Any], bool]] = {
+    "commentPrefix": lambda v: isinstance(v, str),
+    "delimiter": lambda v: isinstance(v, str),
+    "doubleQuote": lambda v: isinstance(v, bool),
+    "encoding": lambda v: isinstance(v, str) and v.lower() in (
+        "ascii", "utf8", "utf-8", "utf16le", "ucs2", "base64", "latin1",
+        "binary", "hex"),
+    "header": lambda v: isinstance(v, bool),
+    "headerRowCount": lambda v: isinstance(v, (int, float))
+    and not isinstance(v, bool) and v >= 0,
+    "lineTerminators": lambda v: isinstance(v, (str, list)),
+    "quoteChar": lambda v: isinstance(v, str) or v is None,
+    "skipBlankRows": lambda v: isinstance(v, bool),
+    "skipColumns": lambda v: isinstance(v, (int, float))
+    and not isinstance(v, bool) and v >= 0,
+    "skipInitialSpace": lambda v: isinstance(v, bool),
+    "skipRows": lambda v: isinstance(v, (int, float))
+    and not isinstance(v, bool) and v >= 0,
+    "trim": lambda v: isinstance(v, bool) or v in ("true", "false", "start",
+                                                   "end"),
+}
+
+#: column name variable syntax (validation/column.ts:34)
+_URI_VAR_RE = re.compile(
+    r"^([a-z0-9]|(%[0-9a-f]{2}))([a-z0-9_.]|(%[0-9a-f]{2}))*$", re.I)
+
+
+def _sanitize_dialect(d: dict, issues: list[Issue], loc: str) -> None:
+    for k, check in _DIALECT_CHECKS.items():
+        if k in d and not check(d[k]):
+            _drop(d, k, issues, f"{loc}.{k}")
+    lt = d.get("lineTerminators")
+    if lt is not None:
+        lt = lt if isinstance(lt, list) else [lt]
+        kept = [t for t in lt if isinstance(t, str)]
+        if len(kept) != len(lt):
+            issues.append(Issue("warning", "", f"{loc}.lineTerminators",
+                                "removing invalid line terminators"))
+        if kept:
+            d["lineTerminators"] = kept
+        else:
+            d.pop("lineTerminators", None)
+
+
+def _sanitize_column(c: dict, issues: list[Issue], loc: str) -> None:
+    if "titles" in c and not _valid_titles(c["titles"]):
+        _drop(c, "titles", issues, f"{loc}.titles")
+    for k in ("virtual", "suppressOutput"):
+        if k in c and not isinstance(c[k], bool):
+            _drop(c, k, issues, f"{loc}.{k}")
+    name = c.get("name")
+    if name is not None and not isinstance(name, str):
+        _drop(c, "name", issues, f"{loc}.name")
+    elif name and not _URI_VAR_RE.match(name):
+        issues.append(Issue("warning", "", f"{loc}.name",
+                            f"Column name {name!r} is invalid"))
+        del c["name"]
+
+
+def _sanitize_child_object(obj: dict, key: str, issues: list[Issue],
+                           loc: str) -> dict | None:
+    """validateChild (generic.ts:208-225): non-object child → {} + warning."""
+    val = obj.get(key)
+    if val is None:
+        return None
+    if not isinstance(val, dict):
+        issues.append(Issue("warning", "", f"{loc}.{key}",
+                            f"Invalid value for {key}: expected an object"))
+        obj[key] = {}
+        return obj[key]
+    return val
+
+
+def _sanitize_table(t: dict, issues: list[Issue], loc: str,
+                    ctx_base: str = "") -> None:
+    if not isinstance(t.get("url"), str):
+        issues.append(Issue("error", "", f"{loc}.url",
+                            "Table must have a url property"))
+        t["url"] = ""
+    # @context @base prefixes the table url (validation/table.ts:55-61 —
+    # a plain string concat in the reference, reproduced verbatim)
+    if ctx_base:
+        t["url"] = ctx_base + t["url"]
+    if "tableDirection" in t and t["tableDirection"] not in (
+            "ltr", "rtl", "auto"):
+        _drop(t, "tableDirection", issues, f"{loc}.tableDirection")
+    d = _sanitize_child_object(t, "dialect", issues, loc)
+    if d is not None:
+        _sanitize_dialect(d, issues, f"{loc}.dialect")
+    s = _sanitize_child_object(t, "tableSchema", issues, loc)
+    if s is not None:
+        cols = s.get("columns")
+        if cols is not None:
+            cols = cols if isinstance(cols, list) else [cols]
+            kept = [c for c in cols if isinstance(c, dict)]
+            if len(kept) != len(cols):
+                issues.append(Issue("warning", "", f"{loc}.columns",
+                                    "removing non-object column entries"))
+            for i, c in enumerate(kept):
+                _sanitize_column(c, issues, f"{loc}.columns[{i}]")
+            s["columns"] = kept
+
+
+def sanitize_descriptor(doc: dict, issues: list[Issue]) -> None:
+    """Structural validation/coercion of a compact-form descriptor, in place
+    — the reference's validateTableGroup/validateTable chain
+    (validation/table-group.ts:55-70, table.ts:50-70, dialect.ts:78-101,
+    schema.ts:30-53, column.ts:46-62): wrong-typed values are dropped with a
+    warning so downstream defaults apply; non-object dialect/tableSchema
+    children become ``{}``; non-object column entries are removed. Inherited
+    property VALUE sanitization lives in spec._sanitize_inherited (applied
+    post-merge, same end state as the reference's per-level pass)."""
+    ctx = doc.get("@context")
+    ctx_base = ""
+    if isinstance(ctx, list) and len(ctx) > 1 and isinstance(ctx[1], dict) \
+            and isinstance(ctx[1].get("@base"), str):
+        ctx_base = ctx[1]["@base"]
+    if isinstance(doc.get("tables"), list):
+        d = _sanitize_child_object(doc, "dialect", issues, "$")
+        if d is not None:
+            _sanitize_dialect(d, issues, "$.dialect")
+        kept = [t for t in doc["tables"] if isinstance(t, dict)]
+        if len(kept) != len(doc["tables"]):
+            issues.append(Issue("warning", "", "$.tables",
+                                "removing non-object table entries"))
+        doc["tables"] = kept
+        if not kept:
+            issues.append(Issue("error", "", "$.tables",
+                                "Table group must contain at least one table"))
+        for i, t in enumerate(kept):
+            _sanitize_table(t, issues, f"$.tables[{i}]", ctx_base)
+    else:
+        _sanitize_table(doc, issues, "$", ctx_base)
+
+
 # --- entry point ------------------------------------------------------------
 
 def normalize_descriptor(raw: dict, base: str = "",
@@ -282,4 +447,5 @@ def normalize_descriptor(raw: dict, base: str = "",
     doc = _compact_keys(doc)
     if loader is not None:
         load_referenced_subdescriptors(doc, loader, issues, base)
+    sanitize_descriptor(doc, issues)
     return doc

@@ -164,12 +164,38 @@ def format_numeric(value: Column, dt: DatatypeSpec) -> Column:
 _DATE_TOKENS = "yyyy MM dd HH mm ss SSS M d H m s"
 
 
+#: trailing ISO-8601 zone tokens of a date-fns/JDK pattern (X = ±HH / Z,
+#: XX = ±HHMM / Z, XXX = ±HH:MM / Z; lowercase x = same with +00 for UTC)
+_ZONE_TOKEN_RE = re.compile(r"([Xx]{1,3})$")
+
+
+def _render_zone(tz: Column, token: str) -> Column:
+    """Render a lexical zone suffix ('Z' | ±HH:MM | '') per the date-fns /
+    JDK X-family token the reference's formatter uses
+    (format-datetime.ts:217-225 via date-fns ``format``)."""
+    sign, hh, mm = (F.substring(tz, 1, 1), F.substring(tz, 2, 2),
+                    F.substring(tz, 5, 2))
+    n = len(token)
+    if n == 1:
+        body = F.concat(sign, hh, F.when(mm != "00", mm).otherwise(F.lit("")))
+    elif n == 2:
+        body = F.concat(sign, hh, mm)
+    else:
+        body = F.concat(sign, hh, F.lit(":"), mm)
+    utc_rep = (F.lit("Z") if token[0] == "X"
+               else F.lit({1: "+00", 2: "+0000", 3: "+00:00"}[n]))
+    is_utc = (tz == "Z") | (tz == "") | tz.isNull() | (
+        (hh == "00") & (mm == "00"))
+    return F.when(is_utc, utc_rep).otherwise(body)
+
+
 def format_datetime(value: Column, dt: DatatypeSpec) -> Column:
     """Validate against the base's lexical regex; reformat via the format
     pattern when given (format-datetime.ts:115-226). Subset: the date-fns
     tokens above coincide with JDK DateTimeFormatter, so the pattern drives
     ``date_format`` on the parsed local part; a trailing zone offset is
-    preserved verbatim when the pattern has no zone tokens."""
+    preserved verbatim when the pattern has no zone tokens, and rendered per
+    the X/x token family when it does."""
     v = F.trim(value)
     valid = v.rlike(DATETIME_REGEX[dt.base])
     pattern = dt.format if isinstance(dt.format, str) else None
@@ -186,11 +212,18 @@ def format_datetime(value: Column, dt: DatatypeSpec) -> Column:
         ts = F.to_timestamp(local, fmt)
     else:
         ts = F.to_timestamp(local, "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]")
-    jdk_pattern = pattern.replace("T", "'T'")
-    formatted = F.date_format(ts, jdk_pattern)
-    has_zone_token = any(t in pattern for t in ("X", "x", "Z", "O"))
-    if not has_zone_token:
-        formatted = F.concat(formatted, F.coalesce(tz_part, F.lit("")))
+    zone_m = _ZONE_TOKEN_RE.search(pattern)
+    if zone_m:
+        head = pattern[:zone_m.start()]
+        formatted = F.concat(
+            F.date_format(ts, head.replace("T", "'T'")) if head
+            else F.lit(""),
+            _render_zone(tz_part, zone_m.group(1)))
+    else:
+        jdk_pattern = pattern.replace("T", "'T'")
+        formatted = F.date_format(ts, jdk_pattern)
+        if not any(t in pattern for t in ("X", "x", "Z", "O")):
+            formatted = F.concat(formatted, F.coalesce(tz_part, F.lit("")))
     return F.when(valid & formatted.isNotNull(), formatted).otherwise(value)
 
 

@@ -344,6 +344,8 @@ def format_number_ldml(num: float, pattern: str, group_char: str = ",",
 
     parts = pattern.split(";")
     positive, negative = parts[0], (parts[1] if len(parts) > 1 else None)
+    if "E" in positive:
+        return _format_scientific_ldml(num, positive, decimal_char)
     m = re.match(r"^([^#0]*)([#0,]*)(?:\.([#0]+))?([^#0]*)$", positive)
     if not m:
         raise ValueError(f"unsupported LDML pattern: {pattern!r}")
@@ -392,6 +394,53 @@ def format_number_ldml(num: float, pattern: str, group_char: str = ",",
         int_digits = group_char.join(reversed(chunks))
     body = int_digits + (decimal_char + frac_digits if frac_digits else "")
     return (neg_prefix + body + neg_suffix) if is_neg else (prefix + body + suffix)
+
+
+def _format_scientific_ldml(num: float, positive: str,
+                            decimal_char: str = ".") -> str:
+    """Scientific LDML pattern ``<mantissa>E<exponent>`` (e.g. ``#0.###E#0``,
+    fixture 158): mantissa normalized to its min-integer-digit count, the
+    exponent zero-padded to the exponent pattern's digit-slot width, '-'
+    only for negative exponents ('+' slot forces a sign)."""
+    import math
+    mant_pat, exp_pat = positive.split("E", 1)
+    mm = re.match(r"^([^#0]*)([#0]*)(?:\.([#0]+))?$", mant_pat)
+    em = re.match(r"^(\+?)([#0]+)([^#0]*)$", exp_pat)
+    if not mm or not em:
+        raise ValueError(f"unsupported LDML pattern: {positive!r}")
+    prefix, int_part, frac_part = mm.group(1), mm.group(2), mm.group(3) or ""
+    force_sign, exp_slots, suffix = em.group(1), len(em.group(2)), em.group(3)
+    min_int = max(int_part.count("0"), 1)
+    min_frac = frac_part.count("0")
+    max_frac = len(frac_part)
+
+    if math.isnan(num):
+        return "NaN"
+    if math.isinf(num):
+        return prefix + ("-" if num < 0 else "") + "INF" + suffix
+    neg = math.copysign(1.0, num) < 0
+    x = abs(num)
+    if x == 0:
+        exp = 0
+        mant = 0.0
+    else:
+        exp = math.floor(math.log10(x)) - (min_int - 1)
+        mant = x / (10.0 ** exp)
+        # rounding at max_frac can push the mantissa past min_int digits
+        if round(mant, max_frac) >= 10.0 ** min_int:
+            exp += 1
+            mant = x / (10.0 ** exp)
+    s = f"{mant:.{max_frac}f}"
+    int_digits, _, frac_digits = s.partition(".")
+    frac_digits = frac_digits.rstrip("0")
+    while len(frac_digits) < min_frac:
+        frac_digits += "0"
+    while len(int_digits) < min_int:
+        int_digits = "0" + int_digits
+    body = int_digits + (decimal_char + frac_digits if frac_digits else "")
+    exp_s = ("-" if exp < 0 else ("+" if force_sign else "")) \
+        + str(abs(exp)).rjust(exp_slots, "0")
+    return prefix + ("-" if neg else "") + body + "E" + exp_s + suffix
 
 
 def ldml_format_udf(pattern: str, group_char: str = ",",

@@ -228,14 +228,90 @@ def simhash_duplicates(docs: DataFrame, text_col: str = "text",
             .where(F.col("n_dups") > 1))
 
 
+def _hex_nibble(col: Column, i: int) -> Column:
+    """Nibble value of 1-based hex char ``i`` (engine-portable: DuckDB
+    replays it as ``('0x'||substr(h,i,1))::BIGINT``)."""
+    return F.conv(F.substring(col, i, 1), 16, 10).cast("long")
+
+
+def hamming_hex(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-hex-char 64-bit hashes: per-nibble
+    XOR popcount, summed — all JVM bit ops, no UDF."""
+    out = F.lit(0)
+    for i in range(1, 17):
+        out = out + F.bit_count(_hex_nibble(a, i).bitwiseXOR(_hex_nibble(b, i)))
+    return out
+
+
+def simhash_hamming_pairs(docs: DataFrame, *, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 3,
+                          hash_family: str = "xxhash64") -> DataFrame:
+    """Near-duplicate pairs at SimHash Hamming distance ≤ k.
+
+    Pigeonhole banding (the scale path promised by simhash_duplicates):
+    split the 16 hex chars into k+1 disjoint slices — two hashes within
+    Hamming k differ in ≤ k bit positions, so at least one slice is
+    IDENTICAL. Candidates = per-slice self-join on (slice_idx, slice_value)
+    — a uniform hash key, ids + 16-char hash only in the exchange — then an
+    exact Hamming verify prunes false positives. No all-pairs comparison
+    anywhere; survives 100 TB structurally like minhash_near_duplicates.
+    """
+    if not 0 <= k <= 15:
+        raise ValueError("k must be in [0, 15] (16 hex chars → ≤16 bands)")
+    if hash_family == "md5":
+        staged = (docs
+                  .withColumn("_th", simhash_token_hexes(F.col(text_col)))
+                  .withColumn("_bs", simhash_bit_sums(F.col("_th"))))
+    else:
+        staged = (docs
+                  .withColumn("_th", simhash_token_longs(F.col(text_col)))
+                  .withColumn("_bs", simhash_bit_sums_xx(F.col("_th"))))
+    h = staged.select(F.col(id_col).alias("id"),
+                      simhash_from_sums(F.col("_bs")).alias("simhash"))
+    n_bands = k + 1
+    base, extra = divmod(16, n_bands)
+    slices, start = [], 1
+    for b in range(n_bands):
+        ln = base + (1 if b < extra else 0)
+        slices.append(F.substring("simhash", start, ln))
+        start += ln
+    bands = h.select(
+        "id", "simhash",
+        F.posexplode(F.array(*slices)).alias("band_idx", "band_val"))
+    left = bands.select(F.col("id").alias("id_a"),
+                        F.col("simhash").alias("sim_a"),
+                        "band_idx", "band_val")
+    right = bands.select(F.col("id").alias("id_b"),
+                         F.col("simhash").alias("sim_b"),
+                         "band_idx", "band_val")
+    cand = (left.join(right, ["band_idx", "band_val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sim_a", "sim_b").distinct())
+    return (cand
+            .withColumn("hamming", hamming_hex(F.col("sim_a"), F.col("sim_b")))
+            .where(F.col("hamming") <= k)
+            .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")))
+
+
 # --- embedding cosine near-dup -------------------------------------------------------
 
 def embedding_near_duplicates(emb: DataFrame, *, vec_col: str = "embedding",
                               id_col: str = "vec_id", block_col: str | None = None,
                               threshold: float = 0.95) -> DataFrame:
     """Pairs with cosine ≥ threshold. Blocked by ``block_col`` when given
-    (e.g. an IVF/LSH bucket or a label); otherwise all-pairs (small inputs)."""
+    (e.g. an IVF/LSH bucket or a label); otherwise all-pairs — guarded: the
+    unblocked branch REFUSES inputs past the cartesian guard (same two-sided
+    bound as plans/rdf2csvw._guarded_cross) because an O(n²) crossJoin over a
+    large corpus is a scale-killer; pass ``block_col`` instead."""
+    from ..plans.rdf2csvw import CARTESIAN_GUARD_ROWS
     from .similarity import cosine
+    if not block_col:
+        n = emb.limit(CARTESIAN_GUARD_ROWS + 1).count()
+        if n > CARTESIAN_GUARD_ROWS:
+            raise ValueError(
+                "embedding_near_duplicates without block_col is an all-pairs "
+                f"crossJoin; input exceeds {CARTESIAN_GUARD_ROWS} rows — "
+                "provide block_col (IVF/LSH bucket) to block the comparison")
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
                    *([F.col(block_col)] if block_col else []))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),

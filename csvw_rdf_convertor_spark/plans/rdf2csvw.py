@@ -31,14 +31,21 @@ CARTESIAN_GUARD_ROWS = 100_000
 
 
 def _guarded_cross(left: DataFrame, right: DataFrame) -> DataFrame:
-    n_l = left.limit(CARTESIAN_GUARD_ROWS + 1).count()
+    # Probe the RIGHT side first: in both call sites it is a single filtered
+    # pattern frame (cheap), while the left is the accumulated join chain —
+    # counting it re-executes every upstream join, O(k) redundant passes for
+    # k disconnected roots. Only when the right side is big do we pay for a
+    # bounded count of the left chain.
     n_r = right.limit(CARTESIAN_GUARD_ROWS + 1).count()
-    if n_l > CARTESIAN_GUARD_ROWS and n_r > CARTESIAN_GUARD_ROWS:
-        raise ValueError(
-            "disconnected query roots produce a cartesian product of two "
-            f"frames each larger than {CARTESIAN_GUARD_ROWS} rows — "
-            "restructure the descriptor so the tables share a join variable "
-            "(aboutUrl/valueUrl template), or pre-filter the graph")
+    if n_r > CARTESIAN_GUARD_ROWS:
+        n_l = left.limit(CARTESIAN_GUARD_ROWS + 1).count()
+        if n_l > CARTESIAN_GUARD_ROWS:
+            raise ValueError(
+                "disconnected query roots produce a cartesian product of two "
+                f"frames each larger than {CARTESIAN_GUARD_ROWS} rows — "
+                "restructure the descriptor so the tables share a join "
+                "variable (aboutUrl/valueUrl template), or pre-filter the "
+                "graph")
     return left.crossJoin(right)
 
 
@@ -235,7 +242,16 @@ def infer_tables(triples: DataFrame) -> list[InferredTable]:
           .groupBy("type_iri", "pred", "subj").agg(F.count("*").alias("k"))
           .groupBy("type_iri", "pred")
           .agg(F.max("k").alias("max_per_subj"), F.sum("k").alias("n")))
-    label_map = {r.subj: r.label for r in labels(triples).collect()}
+    # The label dict is only ever probed with TYPE IRIs — semi-join against
+    # the distinct type objects before collecting, so the collect is bounded
+    # by the vocabulary size, not the number of labeled entities (on a large
+    # graph where most entities carry labels, an unbounded labels() collect
+    # is a driver OOM).
+    type_iris = (triples.where(F.col("pred") == RDF_TYPE)
+                 .select(F.col("obj_lex").alias("subj")).distinct())
+    label_map = {r.subj: r.label
+                 for r in labels(triples)
+                 .join(type_iris, "subj", "left_semi").collect()}
     out: list[InferredTable] = []
     for type_iri, rows in _group_rows(sp.collect(), "type_iri").items():
         pats, multi = [], []
@@ -346,6 +362,12 @@ class PatternNode:
     required: bool = False
     subj_regex: str | None = None  # anchored aboutUrl-template filter
     obj_regex: str | None = None   # anchored valueUrl-template filter
+    #: column ``lang`` → SPARQL ``FILTER LANGMATCHES(LANG(?v), lang)``
+    #: (create-query.ts:427-430); basic language-range matching
+    lang: str | None = None
+    #: column datatype → value-constraint FILTER (create-query.ts:404-424
+    #: dispatching to utils/format-*.ts getXFilter)
+    dt: "DatatypeSpec | None" = None
     children: tuple["PatternNode", ...] = ()
 
 
@@ -363,9 +385,23 @@ class CompiledColumn:
     datatype: object | None = None
     null: tuple[str, ...] | None = None
     is_type: bool = False
+    #: CSV header for this column (bindings keyed by title downstream)
+    title: str = ""
+    #: rdf:type columns trim their IRI against the table-level aboutUrl
+    #: (bindings-to-row-transformation.ts:50-57)
+    table_about: str | None = None
 
 
 _SPECIALS = ("_column", "_sourceColumn", "_name")
+
+
+#: a brace expression whose content does not START with a special name — the
+#: reference's wildcard replaceAll (create-query.ts:437) swallows the whole
+#: expression INCLUDING its operator, so ``{#other}`` → ``.*`` but
+#: ``{#_name}`` survives and expands with its ``#`` prefix.
+_NONSPECIAL_EXPR_RE = re.compile(
+    r"\{(?!_column|_sourceColumn|_name)[^{}]*\}")
+_WILD_SENTINEL = "\x00*\x00"
 
 
 def _expand_specials(template: str, index: int, name: str,
@@ -373,22 +409,32 @@ def _expand_specials(template: str, index: int, name: str,
     """Driver-side expansion of a template over ONLY the per-column specials
     (_column/_sourceColumn/_name — the reference's expand argument at
     create-query.ts:356-366); other variables become '.*' when ``wildcard``
-    (FILTER REGEX construction, :437-467) or '' (plain expansion)."""
-    from ..functions.uritemplate import parse_template
+    (FILTER REGEX construction, :437-467) or '' (plain expansion).
+
+    Expansion keeps the RFC 6570 operator semantics — ``{#_name}`` emits the
+    ``#`` prefix, ``{;_name}`` the ``name=value`` form — because the
+    reference runs the surviving expressions through url-template's full
+    expand (create-query.ts:356-366)."""
+    from ..functions.uritemplate import _OPS, parse_template
     vals = {"_column": str(index + 1), "_sourceColumn": str(index + 1),
             "_name": name}
+    if wildcard:
+        template = _NONSPECIAL_EXPR_RE.sub(_WILD_SENTINEL, template)
     out = []
     for kind, op, specs in parse_template(template):
         if kind == "lit":
-            out.append(re.escape(op) if wildcard else op)
+            out.append(op)
             continue
-        for s in specs:
-            if s.name in vals:
-                v = vals[s.name]
-                out.append(re.escape(v) if wildcard else v)
-            elif wildcard:
-                out.append(".*")
-    return "".join(out)
+        first_char, sep, named, _ = _OPS.get(op, ("", ",", False, False))
+        emitted = [(f"{s.name}=" if named else "") + vals[s.name]
+                   for s in specs if s.name in vals]
+        if emitted:
+            out.append(first_char + sep.join(emitted))
+    text = "".join(out)
+    if wildcard:
+        return ".*".join(re.escape(part)
+                         for part in text.split(_WILD_SENTINEL))
+    return text
 
 
 def compile_table_query(table) -> tuple[list[CompiledColumn], list[PatternNode]]:
@@ -415,12 +461,17 @@ def compile_table_query(table) -> tuple[list[CompiledColumn], list[PatternNode]]
             counter[0] += 1
         return query_vars[key]
 
+    def q_name(c) -> str:
+        # create-query.ts:44-61 name derivation (context-language only);
+        # hand-built ColumnSpecs without q_name fall back to name
+        return getattr(c, "q_name", "") or c.name
+
     def pred_of(i: int) -> str:
         c = cols[i]
         if c.propertyUrl:
             return expand_iri(
-                _expand_specials(c.propertyUrl, i, c.name), base)
-        return f"{table.url}#{c.name}"
+                _expand_specials(c.propertyUrl, i, q_name(c)), base)
+        return f"{table.url}#{q_name(c)}"
 
     col_vars: list[str] = []
     for i, c in enumerate(cols):
@@ -438,8 +489,8 @@ def compile_table_query(table) -> tuple[list[CompiledColumn], list[PatternNode]]
     def template_regex(template: str | None, i: int) -> str | None:
         if not template:
             return None
-        rx = _expand_specials(expand_iri(template, base), i, cols[i].name,
-                              wildcard=True)
+        rx = _expand_specials(expand_iri(template, base), i,
+                              q_name(cols[i]), wildcard=True)
         # reference anchors end-only: FILTER REGEX(STR(?v), "url$")
         return None if rx == ".*" else rx + "$"
 
@@ -453,7 +504,7 @@ def compile_table_query(table) -> tuple[list[CompiledColumn], list[PatternNode]]
         if is_type and c.valueUrl and not (
                 set(_tpl_vars(c.valueUrl)) - set(_SPECIALS)):
             obj_iri = expand_iri(
-                _expand_specials(c.valueUrl, i, c.name), base)
+                _expand_specials(c.valueUrl, i, q_name(c)), base)
             obj_var = None
         children: list[PatternNode] = []
         stack = stack | {i}
@@ -478,6 +529,8 @@ def compile_table_query(table) -> tuple[list[CompiledColumn], list[PatternNode]]
             required=c.required,
             subj_regex=template_regex(c.aboutUrl, i),
             obj_regex=template_regex(c.valueUrl, i) if obj_var else None,
+            lang=c.lang if (obj_var and not is_type) else None,
+            dt=c.datatype if (obj_var and not is_type) else None,
             children=tuple(children))
 
     roots: list[PatternNode] = []
@@ -492,14 +545,16 @@ def compile_table_query(table) -> tuple[list[CompiledColumn], list[PatternNode]]
              if pred_of(j) == RDF_TYPE
              else o.valueUrl is not None and o.valueUrl == c.aboutUrl)
             for j, o in enumerate(cols) if j != i)
-        if not referenced or c.name in table.primaryKey:
+        if not referenced or q_name(c) in table.primaryKey:
             roots.append(build(i, frozenset()))
         if not c.virtual:
             out_cols.append(CompiledColumn(
-                name=c.name, var=col_vars[i], virtual=c.virtual,
+                name=q_name(c), var=col_vars[i], virtual=c.virtual,
                 valueUrl=c.valueUrl, datatype=c.datatype,
                 null=tuple(c.null) if c.null else None,
-                is_type=pred_of(i) == RDF_TYPE))
+                is_type=pred_of(i) == RDF_TYPE,
+                title=getattr(c, "title", "") or c.name,
+                table_about=c.aboutUrl if pred_of(i) == RDF_TYPE else None))
     return out_cols, roots
 
 
@@ -508,9 +563,84 @@ def _tpl_vars(template: str) -> set[str]:
     return variables(template)
 
 
+def _datatype_filter(dt: "DatatypeSpec"):
+    """Value-constraint filter for a bound object variable, or None.
+
+    Mirrors the getXFilter family (format-number.ts:129-178,
+    format-datetime.ts:69-113, format-other.ts:4-40): numeric min/max compare
+    numerically (NaN exempt for float/double/number), date/time min/max
+    compare on the ISO lexical form (temporal order == lexical order for the
+    equal-precision forms the corpus uses), other datatypes filter on the
+    format regex and length bounds. Booleans and durations have no filter
+    (format-boolean.ts:21-28; duration comparison unimplemented there too).
+    """
+    from ..functions import formatters as FM
+    v = F.col("obj_lex")
+    if FM.is_boolean(dt) or FM.is_duration(dt):
+        return None
+    cons = []
+    if FM.is_numeric(dt):
+        num = v.cast("double")
+        for bound, op in ((dt.minimum, lambda c: num >= c),
+                          (dt.maximum, lambda c: num <= c),
+                          (dt.minExclusive, lambda c: num > c),
+                          (dt.maxExclusive, lambda c: num < c)):
+            if bound is not None:
+                cons.append(op(F.lit(float(bound))))
+        if not cons:
+            return None
+        cond = cons[0]
+        for c in cons[1:]:
+            cond = cond & c
+        if dt.base in ("double", "number", "float"):
+            cond = (v == "NaN") | cond
+        return cond
+    if FM.is_datetime(dt):
+        for bound, op in ((dt.minimum, lambda c: v >= c),
+                          (dt.maximum, lambda c: v <= c),
+                          (dt.minExclusive, lambda c: v > c),
+                          (dt.maxExclusive, lambda c: v < c)):
+            if bound is not None:
+                cons.append(op(F.lit(str(bound))))
+    else:
+        if isinstance(dt.format, str):
+            cons.append(v.rlike(dt.format))
+        if dt.length is not None:
+            cons.append(F.length(v) == int(dt.length))
+        if dt.minLength is not None:
+            cons.append(F.length(v) >= int(dt.minLength))
+        if dt.maxLength is not None:
+            cons.append(F.length(v) <= int(dt.maxLength))
+    if not cons:
+        return None
+    cond = cons[0]
+    for c in cons[1:]:
+        cond = cond & c
+    return cond
+
+
+def _effectively_required(node: PatternNode) -> bool:
+    """A pattern with a value-constraint filter drops the whole row when its
+    value violates (or is absent) — the reference's FILTER evaluates against
+    the joined solution, where an unbound/violating value errors to false
+    (observed behavior of fixtures 202/209: only the fully-constraint-
+    satisfying row survives). Equivalent relationally to an INNER join of
+    the filtered slice."""
+    return node.required or (
+        node.dt is not None and _datatype_filter(node.dt) is not None)
+
+
 def match_table_query(triples: DataFrame, out_cols: list[CompiledColumn],
-                      roots: list[PatternNode]) -> DataFrame:
+                      roots: list[PatternNode], *, use_titles: bool = False,
+                      substitute_nulls: bool = False) -> DataFrame:
     """Execute a compiled table query as DataFrame joins.
+
+    ``use_titles`` aliases output columns by TITLE (the CSV header the
+    reference emits rows under); ``substitute_nulls`` substitutes every
+    unbound cell with the column's null value (or ''), not just formatted
+    columns. Both happen inside the one final projection, so two columns
+    whose names differ only by case (fixture 187's dateTime/datetime) never
+    hit Spark's case-insensitive column resolution.
 
     Each PatternNode becomes a filtered slice of the triple store projected
     onto its variables; chained children join on the SHARED variable
@@ -533,12 +663,27 @@ def match_table_query(triples: DataFrame, out_cols: list[CompiledColumn],
         elif node.obj_var and node.obj_var != node.subj_var:
             if node.obj_regex:
                 f = f.where(F.col("obj_lex").rlike(node.obj_regex))
+            if node.dt is not None:
+                dtf = _datatype_filter(node.dt)
+                if dtf is not None:
+                    f = f.where(dtf)
+            if node.lang:
+                # LANGMATCHES over a basic range: exact tag or subtag prefix,
+                # case-insensitive; '*' = any language-tagged literal. An IRI
+                # or plain literal makes LANG() fail the filter.
+                tag = F.lower(F.col("obj_lang"))
+                if node.lang == "*":
+                    f = f.where(tag != "")
+                else:
+                    want = node.lang.lower()
+                    f = f.where((tag == want) | tag.startswith(want + "-"))
             sel.append(F.col("obj_lex").alias(node.obj_var))
         f = f.select(*sel)
         for ch in node.children:
             cf = frame(ch)
             shared = sorted(set(f.columns) & set(cf.columns))
-            f = f.join(cf, shared, "inner" if ch.required else "left")
+            f = f.join(cf, shared, "inner" if _effectively_required(ch)
+                       else "left")
         return f
 
     ordered = [r for r in roots if r.required] + \
@@ -552,11 +697,13 @@ def match_table_query(triples: DataFrame, out_cols: list[CompiledColumn],
         # the same cartesian the disconnected-root join below uses). The
         # seed keeps each root's obj_iri/subj_regex constraints so e.g. a
         # type root only seeds correctly-typed subjects.
+        from dataclasses import replace as _dc_replace
         by_var: dict[str, DataFrame] = {}
         for r in roots:
-            s = frame(PatternNode(subj_var=r.subj_var, pred=r.pred,
-                                  obj_var=None, obj_iri=r.obj_iri,
-                                  subj_regex=r.subj_regex)
+            # keep the root's own object constraints (obj regex, lang,
+            # datatype filter — createSelectOfOptionalSubjects emits them
+            # inside each UNION alternative) but not its chained children
+            s = frame(_dc_replace(r, children=(), required=False)
                       ).select(r.subj_var)
             prev = by_var.get(r.subj_var)
             by_var[r.subj_var] = s if prev is None else prev.unionByName(s)
@@ -569,7 +716,7 @@ def match_table_query(triples: DataFrame, out_cols: list[CompiledColumn],
             out = rf
         else:
             shared = sorted(set(out.columns) & set(rf.columns))
-            how = "inner" if r.required else "left"
+            how = "inner" if _effectively_required(r) else "left"
             out = (out.join(rf, shared, how) if shared
                    else _guarded_cross(out, rf))
     assert out is not None
@@ -580,11 +727,12 @@ def match_table_query(triples: DataFrame, out_cols: list[CompiledColumn],
         p = TriplePattern(c.name, RDF_TYPE if c.is_type else "",
                           valueUrl=c.valueUrl, datatype=c.datatype,
                           null=c.null,
-                          table_about=None)
-        formatted = c.valueUrl or c.datatype is not None
+                          table_about=c.table_about)
+        formatted = c.valueUrl or c.datatype is not None or (
+            c.is_type and c.table_about)
         if formatted:
             col = _format_binding(p, col)
-        if c.null is not None or formatted:
+        if c.null is not None or formatted or substitute_nulls:
             col = F.coalesce(col, F.lit(c.null[0] if c.null else ""))
-        exprs.append(col.alias(c.name))
+        exprs.append(col.alias((c.title or c.name) if use_titles else c.name))
     return out.select(*exprs)

@@ -156,6 +156,12 @@ class DatatypeSpec:
         kwargs = {k: raw[k] for k in (
             "base", "format", "length", "minLength", "maxLength", "minimum",
             "maximum", "minExclusive", "maxExclusive") if k in raw}
+        # CSVW aliases (datatype.ts:81-90): minInclusive/maxInclusive are
+        # the same constraint as minimum/maximum
+        if "minimum" not in kwargs and "minInclusive" in raw:
+            kwargs["minimum"] = raw["minInclusive"]
+        if "maximum" not in kwargs and "maxInclusive" in raw:
+            kwargs["maximum"] = raw["maxInclusive"]
         kwargs.setdefault("base", "string")
         return DatatypeSpec(**kwargs)
 
@@ -208,6 +214,16 @@ class ColumnSpec:
 
     name: str
     titles: tuple[str, ...] = ()
+    #: CSV output header for this column (rdf2csvw rows are keyed by title):
+    #: first title under the CONTEXT @language (exact key) → explicit name →
+    #: ``_col.N`` (reference: rdf2csvw/create-query.ts:63-77 — note it uses
+    #: only the @context @language, NOT the inherited table lang that the
+    #: csvw2rdf name derivation at convertor.ts:413-416 also consults)
+    title: str = ""
+    #: column name as the rdf2csvw query compiler derives it (create-query.ts
+    #: :44-61, same context-only language rule); differs from ``name`` when a
+    #: langmap title matches the table lang but not the context @language
+    q_name: str = ""
     datatype: DatatypeSpec = field(default_factory=DatatypeSpec)
     aboutUrl: str | None = None
     propertyUrl: str | None = None
@@ -322,12 +338,122 @@ def _titles_and_name(raw: Any, default_lang: str = "@none"
     raise ValueError(f"bad titles: {raw!r}")
 
 
+#: BCP 47-ish language tag (validation/generic.ts validateLang — bcp47-validate)
+_LANG_RE = re.compile(r"^[A-Za-z]{2,3}(-[A-Za-z0-9]{1,8})*$|^\*$")
+
+#: legal characters of an LDML number pattern (validation/datatype.ts:19)
+_NUMBER_PATTERN_RE = re.compile(r"^[0#,.eE+%‰-]+$")
+
+
+def _sanitize_datatype(merged: dict) -> None:
+    """Datatype format validation (validation/datatype.ts:47-117): unknown
+    string datatype → dropped; unknown base → 'string'; numeric format
+    coerced to {pattern} with an illegal pattern deleted; boolean format
+    without '|' deleted; other formats must compile as a regex."""
+    dt = merged.get("datatype")
+    if dt is None:
+        return
+    if isinstance(dt, str):
+        if dt not in DATATYPE_URIS:
+            del merged["datatype"]
+        return
+    if not isinstance(dt, dict):
+        del merged["datatype"]
+        return
+    dt = dict(dt)  # inherited dicts are shared across columns — never mutate
+    merged["datatype"] = dt
+    if dt.get("base") is not None and dt["base"] not in DATATYPE_URIS:
+        dt["base"] = "string"
+    base = dt.get("base", "string")
+    fmt = dt.get("format")
+    if fmt is None:
+        return
+    if base in NUMERIC_TYPES:
+        if isinstance(fmt, str):
+            fmt = {"pattern": fmt}
+        if not isinstance(fmt, dict):
+            del dt["format"]
+            return
+        fmt = dict(fmt)
+        if "pattern" in fmt and not (
+                isinstance(fmt["pattern"], str)
+                and _NUMBER_PATTERN_RE.match(fmt["pattern"])):
+            del fmt["pattern"]
+        dt["format"] = fmt
+    elif base == "boolean":
+        if not (isinstance(fmt, str) and "|" in fmt):
+            del dt["format"]
+    elif base in DATE_TYPES or base == "dateTimeStamp":
+        pass
+    else:
+        if not isinstance(fmt, str):
+            del dt["format"]
+        else:
+            try:
+                re.compile(fmt)
+            except re.error:
+                del dt["format"]
+
+
+def _sanitize_inherited(merged: dict) -> dict:
+    """Drop invalid-typed inherited property values, like the reference's
+    validateInheritedProperties (validation/inherited-properties.ts:6-63 +
+    generic.ts validateObject: wrong type / failed validate → warning +
+    delete; aboutUrl/propertyUrl/valueUrl non-strings → '')."""
+    out = dict(merged)
+    for k in ("null", "separator", "default"):
+        v = out.get(k)
+        if v is not None and not isinstance(v, str) and not (
+                k == "null" and isinstance(v, list)
+                and all(isinstance(x, str) for x in v)):
+            del out[k]
+    lang = out.get("lang")
+    if lang is not None and not (
+            isinstance(lang, str) and _LANG_RE.match(lang)):
+        del out["lang"]
+    td = out.get("textDirection")
+    if td is not None and td not in ("ltr", "rtl", "auto", "inherit"):
+        del out["textDirection"]
+    for k in ("ordered", "required"):
+        if k in out and not isinstance(out[k], bool):
+            del out[k]
+    for k in ("aboutUrl", "propertyUrl", "valueUrl"):
+        if k in out and not isinstance(out[k], str):
+            out[k] = ""
+    _sanitize_datatype(out)
+    return out
+
+
+def _exact_lang_title(raw: Any, lang: str) -> str | None:
+    """First title under exactly ``lang`` (string/array titles always
+    qualify) — the rdf2csvw query compiler's lookup (create-query.ts:44-77:
+    plain ``defaultLang in column.titles``, no subtag fallback)."""
+    if isinstance(raw, str):
+        return raw
+    if isinstance(raw, list):
+        return raw[0] if raw else None
+    if isinstance(raw, dict) and lang in raw:
+        v = raw[lang]
+        v = [v] if isinstance(v, str) else v
+        return v[0] if v else None
+    return None
+
+
 def parse_column(raw: dict, index: int, inherited: dict, base: str = "",
-                 default_lang: str = "@none") -> ColumnSpec:
+                 default_lang: str = "@none",
+                 ctx_lang: str = "@none") -> ColumnSpec:
     """Column name derivation + inheritance (reference: convertor.ts:566-604)."""
-    merged = _merge_inherited(raw, inherited)
+    merged = _sanitize_inherited(_merge_inherited(raw, inherited))
     titles, name_title = _titles_and_name(merged.get("titles"), default_lang)
     name = merged.get("name")
+    q_title = _exact_lang_title(merged.get("titles"), ctx_lang)
+    title = q_title if q_title is not None else (name or f"_col.{index + 1}")
+    if name:
+        # create-query.ts:46 percent-encodes even explicit names
+        q_name = encode_column_name(name)
+    else:
+        q_name = (encode_column_name(q_title) if q_title
+                  else f"_col.{index + 1}")
     if not name:
         name = encode_column_name(name_title) if name_title else f"_col.{index + 1}"
     nulls = merged.get("null", "")
@@ -338,6 +464,8 @@ def parse_column(raw: dict, index: int, inherited: dict, base: str = "",
     return ColumnSpec(
         name=name,
         titles=titles,
+        title=title,
+        q_name=q_name,
         datatype=DatatypeSpec.parse(merged.get("datatype")),
         aboutUrl=merged.get("aboutUrl"),
         propertyUrl=merged.get("propertyUrl"),
@@ -363,10 +491,11 @@ def parse_table(raw: dict, group_inherited: dict | None = None, base: str = "",
     # default language for title naming: table lang (inherited) → @context
     # @language → '@none' (reference convertor.ts:413-417)
     default_lang = inherited.get("lang") or context_lang or "@none"
+    ctx_only_lang = context_lang or "@none"
     cols = []
     seen: set[str] = set()
     for i, c in enumerate(schema.get("columns", [])):
-        col = parse_column(c, i, inherited, base, default_lang)
+        col = parse_column(c, i, inherited, base, default_lang, ctx_only_lang)
         if col.name in seen and not col.virtual:
             raise ValueError(f"duplicate column name {col.name!r}")  # convertor.ts:594-604
         seen.add(col.name)
