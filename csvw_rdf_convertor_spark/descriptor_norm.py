@@ -364,6 +364,22 @@ def _sanitize_child_object(obj: dict, key: str, issues: list[Issue],
     return val
 
 
+def _sanitize_inherited_inplace(obj: dict, issues: list[Issue],
+                                loc: str) -> None:
+    """Apply spec._sanitize_inherited (typed-value coercion of inherited
+    properties + datatype format validation) to ONE descriptor level, in
+    place — the reference runs validateInheritedProperties per level
+    (table-group.ts:60, table.ts:66, column.ts:52)."""
+    from .spec import _sanitize_inherited
+    new = _sanitize_inherited(obj)
+    dropped = set(obj) - set(new)
+    for k in dropped:
+        issues.append(Issue("warning", "", f"{loc}.{k}",
+                            f"Invalid value for {k}: {obj[k]!r}"))
+    obj.clear()
+    obj.update(new)
+
+
 def _sanitize_table(t: dict, issues: list[Issue], loc: str,
                     ctx_base: str = "") -> None:
     if not isinstance(t.get("url"), str):
@@ -377,11 +393,13 @@ def _sanitize_table(t: dict, issues: list[Issue], loc: str,
     if "tableDirection" in t and t["tableDirection"] not in (
             "ltr", "rtl", "auto"):
         _drop(t, "tableDirection", issues, f"{loc}.tableDirection")
+    _sanitize_inherited_inplace(t, issues, loc)
     d = _sanitize_child_object(t, "dialect", issues, loc)
     if d is not None:
         _sanitize_dialect(d, issues, f"{loc}.dialect")
     s = _sanitize_child_object(t, "tableSchema", issues, loc)
     if s is not None:
+        _sanitize_inherited_inplace(s, issues, f"{loc}.tableSchema")
         cols = s.get("columns")
         if cols is not None:
             cols = cols if isinstance(cols, list) else [cols]
@@ -391,6 +409,7 @@ def _sanitize_table(t: dict, issues: list[Issue], loc: str,
                                     "removing non-object column entries"))
             for i, c in enumerate(kept):
                 _sanitize_column(c, issues, f"{loc}.columns[{i}]")
+                _sanitize_inherited_inplace(c, issues, f"{loc}.columns[{i}]")
             s["columns"] = kept
 
 
@@ -409,6 +428,7 @@ def sanitize_descriptor(doc: dict, issues: list[Issue]) -> None:
             and isinstance(ctx[1].get("@base"), str):
         ctx_base = ctx[1]["@base"]
     if isinstance(doc.get("tables"), list):
+        _sanitize_inherited_inplace(doc, issues, "$")
         d = _sanitize_child_object(doc, "dialect", issues, "$")
         if d is not None:
             _sanitize_dialect(d, issues, "$.dialect")

@@ -334,19 +334,59 @@ def ldml_number_udf(pattern: str, base: str, decimal_char: str = ".",
 
 # --- LDML number FORMATTING (rdf2csvw output direction) ----------------------
 
+def _group_int_digits(digits: str, groups: list[str], group_char: str) -> str:
+    """Apply LDML integer grouping from the right: the LAST ',' in the
+    pattern sets the primary size, the one before it the secondary size used
+    for every further group (UAX-35 §3.1; '#,##,#00' → 12,34,567)."""
+    if len(groups) < 2:
+        return digits
+    primary = len(groups[-1])
+    secondary = len(groups[-2]) if len(groups) > 2 else primary
+    if not primary or len(digits) <= primary:
+        return digits
+    chunks = [digits[-primary:]]
+    i = len(digits) - primary
+    while i > secondary:
+        chunks.append(digits[i - secondary:i])
+        i -= secondary
+    chunks.append(digits[:i])
+    return group_char.join(reversed(chunks))
+
+
+def _group_frac_digits(digits: str, groups: list[str], group_char: str) -> str:
+    """Fractional grouping runs LEFT to right ('#0.0#,#' → 12.24,5)."""
+    if len(groups) < 2:
+        return digits
+    primary = len(groups[0])
+    if not primary or len(digits) <= primary:
+        return digits
+    chunks = [digits[:primary]]
+    i = primary
+    secondary = len(groups[1]) if len(groups) > 1 else primary
+    while i < len(digits):
+        chunks.append(digits[i:i + secondary])
+        i += secondary
+    return group_char.join(chunks)
+
+
 def format_number_ldml(num: float, pattern: str, group_char: str = ",",
-                       decimal_char: str = ".") -> str:
+                       decimal_char: str = ".",
+                       explicit_plus: bool = False) -> str:
     """Format a number per an LDML pattern (reference: format-number.ts:
     260-297 via the ldml-number lib; same subset as :func:`compile_ldml` —
-    prefix/suffix, 0/# digit slots, primary grouping, %/‰ scaling,
-    ';'-separated negative subpattern whose prefix/suffix are honored)."""
+    prefix/suffix, 0/# digit slots, primary+secondary integer grouping,
+    fractional grouping, %/‰ scaling, explicit '+'/'-' sign placeholders,
+    ';'-separated negative subpattern whose prefix/suffix are honored).
+
+    ``explicit_plus`` carries the lexical '+' of the source value (fixture
+    283: "+1.23"^^xsd:decimal formats back to '%+123' under '%000')."""
     import math
 
     parts = pattern.split(";")
     positive, negative = parts[0], (parts[1] if len(parts) > 1 else None)
     if "E" in positive:
         return _format_scientific_ldml(num, positive, decimal_char)
-    m = re.match(r"^([^#0]*)([#0,]*)(?:\.([#0]+))?([^#0]*)$", positive)
+    m = re.match(r"^([^#0]*)([#0,]*)(?:\.([#0,]+))?([^#0]*)$", positive)
     if not m:
         raise ValueError(f"unsupported LDML pattern: {pattern!r}")
     prefix, int_part, frac_part, suffix = (
@@ -354,25 +394,40 @@ def format_number_ldml(num: float, pattern: str, group_char: str = ",",
     scale = 100 if "%" in positive else 1000 if "‰" in positive else 1
 
     is_neg = math.copysign(1.0, num) < 0
-    if negative is not None:
+    sign = "-" if is_neg else ("+" if explicit_plus else "")
+    # '+'/'-' in the affixes are SIGN PLACEHOLDERS (UAX-35): substitute the
+    # actual sign there instead of prepending one to the digits
+    if negative is None:
+        placed = False
+        for ph in ("+", "-"):
+            if ph in prefix:
+                prefix = prefix.replace(ph, "-" if is_neg else ph)
+                placed = True
+                break
+            if ph in suffix:
+                suffix = suffix.replace(ph, "-" if is_neg else ph)
+                placed = True
+                break
+        neg_prefix = prefix + ("" if placed else "-")
+        neg_suffix = suffix
+        pos_prefix = prefix + ("" if placed else sign)
+    else:
         nm = re.match(r"^([^#0]*)[#0,.]*([^#0]*)$", negative)
         neg_prefix, neg_suffix = (nm.group(1), nm.group(2)) if nm else ("-", "")
-    else:
-        neg_prefix, neg_suffix = "-" + prefix, suffix
+        pos_prefix = prefix + sign
 
     if math.isnan(num):
         return "NaN"
     if math.isinf(num):
         body = "INF"
         return (neg_prefix + body + neg_suffix) if is_neg \
-            else (prefix + body + suffix)
+            else (pos_prefix + body + suffix)
 
     x = abs(num) * scale
     min_int = int_part.replace(",", "").count("0")
-    min_frac = frac_part.count("0")
-    max_frac = len(frac_part)
-    groups = int_part.split(",")
-    primary = len(groups[-1]) if len(groups) > 1 else 0
+    frac_digits_pat = frac_part.replace(",", "")
+    min_frac = frac_digits_pat.count("0")
+    max_frac = len(frac_digits_pat)
 
     s = f"{x:.{max_frac}f}"
     int_digits, _, frac_digits = s.partition(".")
@@ -384,16 +439,12 @@ def format_number_ldml(num: float, pattern: str, group_char: str = ",",
         int_digits = "0" + int_digits
     if not int_digits:
         int_digits = "0"  # '#.##'(0.25) → '0.25' (DecimalFormat behavior)
-    if primary and len(int_digits) > primary:
-        chunks = []
-        i = len(int_digits)
-        while i > primary:
-            chunks.append(int_digits[i - primary:i])
-            i -= primary
-        chunks.append(int_digits[:i])
-        int_digits = group_char.join(reversed(chunks))
+    int_digits = _group_int_digits(int_digits, int_part.split(","), group_char)
+    frac_digits = _group_frac_digits(frac_digits, frac_part.split(","),
+                                     group_char)
     body = int_digits + (decimal_char + frac_digits if frac_digits else "")
-    return (neg_prefix + body + neg_suffix) if is_neg else (prefix + body + suffix)
+    return (neg_prefix + body + neg_suffix) if is_neg \
+        else (pos_prefix + body + suffix)
 
 
 def _format_scientific_ldml(num: float, positive: str,
@@ -451,6 +502,7 @@ def ldml_format_udf(pattern: str, group_char: str = ",",
     def _udf(s: pd.Series) -> pd.Series:
         return s.map(lambda v: None if v is None else format_number_ldml(
             float(v.replace("INF", "inf") if "INF" in v else v),
-            pattern, group_char, decimal_char))
+            pattern, group_char, decimal_char,
+            explicit_plus=v.lstrip().startswith("+")))
 
     return _udf

@@ -289,11 +289,22 @@ def reconstruct_tables(triples: DataFrame) -> dict[str, DataFrame]:
         subjects = typed.where(F.col("type_iri") == t.type_iri).select("subj")
         scoped = triples.join(subjects, "subj", "left_semi")
         single = [p for p in t.patterns if p.pred not in t.multivalued]
-        df = subjects.distinct()
-        for p in single:
-            side = (scoped.where(F.col("pred") == p.pred)
-                    .select("subj", F.col("obj_lex").alias(p.name)))
-            df = df.join(side, "subj", "left")
+        # Single-valued columns (inference guarantees ≤1 value per subject)
+        # reconstruct with ONE conditional aggregation — one shuffle on subj
+        # — instead of K left joins (K shuffled slices for a K-column table;
+        # a 100×-scale plan upgrade, VERDICT r4 #5). Subjects with no data
+        # predicates are kept by seeding NULL rows into the same groupBy,
+        # which stays narrow (union, no extra Exchange).
+        seed = subjects.distinct().select(
+            "subj", F.lit(None).cast("string").alias("pred"),
+            F.lit(None).cast("string").alias("obj_lex"))
+        base = (scoped.where(F.col("pred").isin([p.pred for p in single]))
+                .select("subj", "pred", "obj_lex")
+                .unionByName(seed)) if single else seed
+        df = base.groupBy("subj").agg(*[
+            F.max(F.when(F.col("pred") == p.pred, F.col("obj_lex")))
+            .alias(p.name) for p in single]) if single else \
+            seed.select("subj").distinct()
         out[t.name] = df
         for pred in t.multivalued:
             col = _local_name(pred)
@@ -316,22 +327,38 @@ def _format_binding(p: TriplePattern, col) -> "F.Column":
     return format_value(out, p.datatype)
 
 
-def match_patterns(triples: DataFrame, patterns: list[TriplePattern]) -> DataFrame:
+def match_patterns(triples: DataFrame, patterns: list[TriplePattern],
+                   *, assume_single_valued: bool = False) -> DataFrame:
     """Reconstruct rows: seed = DISTINCT subjects (J3 guard, create-query.ts:
     133-137), then one join per pattern — inner for required (J1), left for
     OPTIONAL (J2). Catalyst broadcasts the small filtered slices.
+
+    ``assume_single_valued=True`` replaces the K-join chain with ONE
+    conditional aggregation (``groupBy(subj).agg(max(when(pred==p, obj)))``)
+    — a single shuffle instead of K. Only valid when the caller KNOWS every
+    pattern binds at most one value per subject (e.g. from A2 inference):
+    the join chain fans multi-valued bindings out into multiple rows, which
+    max() would silently collapse.
 
     Columns whose pattern carries formatting fields get the reference's
     output pipeline: inverse-template URL trimming, per-datatype formatting
     and null substitution (unbound cell → null[0], '' default) — raw
     ``obj_lex`` passthrough otherwise (back-compat with value-level
     consumers)."""
-    seed = triples.select("subj").distinct()
-    out = seed
-    for p in patterns:
-        side = (triples.where(F.col("pred") == p.pred)
-                .select(F.col("subj"), F.col("obj_lex").alias(p.name)))
-        out = out.join(side, "subj", "inner" if p.required else "left")
+    if assume_single_valued and patterns:
+        out = triples.groupBy("subj").agg(
+            *[F.max(F.when(F.col("pred") == p.pred, F.col("obj_lex")))
+              .alias(p.name) for p in patterns])
+        for p in patterns:
+            if p.required:
+                out = out.where(F.col(p.name).isNotNull())
+    else:
+        seed = triples.select("subj").distinct()
+        out = seed
+        for p in patterns:
+            side = (triples.where(F.col("pred") == p.pred)
+                    .select(F.col("subj"), F.col("obj_lex").alias(p.name)))
+            out = out.join(side, "subj", "inner" if p.required else "left")
     exprs = []
     for p in patterns:
         c = F.col(p.name)
@@ -368,6 +395,10 @@ class PatternNode:
     #: column datatype → value-constraint FILTER (create-query.ts:404-424
     #: dispatching to utils/format-*.ts getXFilter)
     dt: "DatatypeSpec | None" = None
+    #: column ``separator`` → the pattern's multi-valued binding aggregates
+    #: into ONE cell (canonical value order; fixtures 228-230). Constraints
+    #: then apply per ITEM and only warn — no binding filter.
+    separator: str | None = None
     children: tuple["PatternNode", ...] = ()
 
 
@@ -450,7 +481,11 @@ def compile_table_query(table) -> tuple[list[CompiledColumn], list[PatternNode]]
     """
     from ..spec import expand_iri
     cols = table.columns
-    base = table.base
+    # URI templates resolve against the TABLE URL (CSVW metadata §5.1.3) —
+    # a relative propertyUrl like '#col={_name}' must match the predicates a
+    # csvw2rdf run minted relative to the CSV location (fixtures 038/039;
+    # the reference leaves them relative and mismatches, hence its skips).
+    base = expand_iri(table.url, table.base) if table.url else table.base
     query_vars: dict[str, str] = {}
     counter = [0]
 
@@ -530,7 +565,9 @@ def compile_table_query(table) -> tuple[list[CompiledColumn], list[PatternNode]]
             subj_regex=template_regex(c.aboutUrl, i),
             obj_regex=template_regex(c.valueUrl, i) if obj_var else None,
             lang=c.lang if (obj_var and not is_type) else None,
-            dt=c.datatype if (obj_var and not is_type) else None,
+            dt=(c.datatype if (obj_var and not is_type
+                               and c.separator is None) else None),
+            separator=c.separator if (obj_var and not is_type) else None,
             children=tuple(children))
 
     roots: list[PatternNode] = []
@@ -605,12 +642,22 @@ def _datatype_filter(dt: "DatatypeSpec"):
     else:
         if isinstance(dt.format, str):
             cons.append(v.rlike(dt.format))
+        # binary types measure length in DECODED OCTETS (CSVW §4.6.1) — the
+        # reference's STRLEN filter (format-other.ts:22-27) measures the
+        # lexical form, which is why its own suite skips fixture 195; the
+        # expected CSVs encode the spec behavior, so that is what we match
+        if dt.base in ("base64Binary", "binary"):
+            ln = F.length(F.unbase64(v))
+        elif dt.base == "hexBinary":
+            ln = (F.length(v) / 2).cast("int")
+        else:
+            ln = F.length(v)
         if dt.length is not None:
-            cons.append(F.length(v) == int(dt.length))
+            cons.append(ln == int(dt.length))
         if dt.minLength is not None:
-            cons.append(F.length(v) >= int(dt.minLength))
+            cons.append(ln >= int(dt.minLength))
         if dt.maxLength is not None:
-            cons.append(F.length(v) <= int(dt.maxLength))
+            cons.append(ln <= int(dt.maxLength))
     if not cons:
         return None
     cond = cons[0]
@@ -620,14 +667,21 @@ def _datatype_filter(dt: "DatatypeSpec"):
 
 
 def _effectively_required(node: PatternNode) -> bool:
-    """A pattern with a value-constraint filter drops the whole row when its
-    value violates (or is absent) — the reference's FILTER evaluates against
+    """A pattern with a MIN/MAX value constraint drops the whole row when its
+    value violates or is absent — the reference's FILTER evaluates against
     the joined solution, where an unbound/violating value errors to false
-    (observed behavior of fixtures 202/209: only the fully-constraint-
-    satisfying row survives). Equivalent relationally to an INNER join of
-    the filtered slice."""
-    return node.required or (
-        node.dt is not None and _datatype_filter(node.dt) is not None)
+    (fixtures 202/209: only the fully-constraint-satisfying row survives).
+    Equivalent relationally to an INNER join of the filtered slice.
+
+    Length/format constraints do NOT promote the join (fixture 195: a
+    length-constrained optional column with no binding still leaves an empty
+    cell) — they only filter the binding itself."""
+    if node.required:
+        return True
+    dt = node.dt
+    return dt is not None and any(
+        b is not None for b in (dt.minimum, dt.maximum,
+                                dt.minExclusive, dt.maxExclusive))
 
 
 def match_table_query(triples: DataFrame, out_cols: list[CompiledColumn],
@@ -679,6 +733,14 @@ def match_table_query(triples: DataFrame, out_cols: list[CompiledColumn],
                     f = f.where((tag == want) | tag.startswith(want + "-"))
             sel.append(F.col("obj_lex").alias(node.obj_var))
         f = f.select(*sel)
+        if (node.separator is not None and node.obj_var
+                and node.obj_var != node.subj_var):
+            # one cell per subject: canonical (sorted) value order — the
+            # reference's store iteration order is arbitrary, this is the
+            # retry-stable choice that matches the fixtures
+            f = f.groupBy(node.subj_var).agg(
+                F.array_join(F.array_sort(F.collect_list(node.obj_var)),
+                             node.separator).alias(node.obj_var))
         for ch in node.children:
             cf = frame(ch)
             shared = sorted(set(f.columns) & set(cf.columns))

@@ -60,6 +60,12 @@ def _value_obj(lex: str, kind: str, dtype: str, lang: str,
         return {"@id": lex if lex.startswith("_:") else "_:" + lex}
     if lang:
         return {"@value": lex, "@language": lang}
+    # ROUND-TRIP CONTRACT (ADVICE r4): a literal typed exactly xsd:string
+    # serializes as a plain JSON string and re-parses with obj_dtype '' —
+    # RDF-isomorphic (RDF 1.1 §3.3: simple literals ≡ xsd:string) but not
+    # tuple-identical. Same normalization pretty_turtle applies; producers
+    # in this repo already emit '' for plain strings, so the hash gates see
+    # identical tuples in practice.
     if dtype and dtype != XSD + "string":
         return {"@value": lex, "@type": _compact(dtype, pm)}
     return lex

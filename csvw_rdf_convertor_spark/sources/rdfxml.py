@@ -44,9 +44,13 @@ _XML_NS = "{http://www.w3.org/XML/1998/namespace}"
 _ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 
 #: rdf: attributes that are NOT property attributes
+#: rdf:type is NOT here: it is a legal PROPERTY attribute on both node and
+#: property elements (RDF/XML §2.13/§2.12) — the attribute loops handle it
+#: explicitly (ADVICE r4: with 'type' in this set those branches were
+#: unreachable and a property-element rdf:type attribute was dropped).
 _SYNTAX_ATTRS = {_RDF_NS + a for a in
                  ("about", "ID", "nodeID", "resource", "datatype",
-                  "parseType", "type")}
+                  "parseType")}
 
 
 def _split_qname(tag: str) -> str:

@@ -67,11 +67,70 @@ class FetchCache:
         return data
 
 
-def locate_metadata(csv_url: str, cache: FetchCache | None = None) -> str | None:
-    """Well-known/default metadata discovery for a CSV location
-    (convertor.ts:220-318; Link-header branch needs HTTP → production only).
-    Returns the metadata URL/path, or None (→ empty-schema fallback)."""
+#: Link types that qualify as metadata references (req-resolve.ts:32-36)
+LINK_METADATA_TYPES = frozenset(
+    ("application/csvm+json", "application/ld+json", "application/json"))
+
+
+def parse_link_header(header: str, base: str = "") -> list[str]:
+    """All ``rel="describedby"`` metadata targets of an HTTP ``Link``
+    header, in header order (req-resolve.ts:37-59 parseLinkHeader).
+
+    Pure string parsing — the network fetch that PRODUCES the header stays
+    the environment seam (FetchCache.load_json raises on http). One
+    deliberate divergence: the reference slices quotes off attribute values
+    unconditionally (``value.slice(1, -1)``), corrupting unquoted values
+    like ``rel=describedby``; here quotes are stripped only when present.
+    """
+    import urllib.parse
+    out: list[str] = []
+    for entry in header.split(","):
+        entry = entry.strip()
+        if not entry:
+            continue
+        parts = [x.strip() for x in entry.split(";")]
+        url = parts[0]
+        if url.startswith("<") and url.endswith(">"):
+            url = url[1:-1]
+        attrs: dict[str, str] = {}
+        for p in parts[1:]:
+            k, _, v = p.partition("=")
+            v = v.strip()
+            if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+                v = v[1:-1]
+            attrs[k.strip().lower()] = v
+        if (attrs.get("rel", "").lower() == "describedby"
+                and attrs.get("type", "").lower() in LINK_METADATA_TYPES):
+            out.append(urllib.parse.urljoin(base, url) if base else url)
+    return out
+
+
+def linked_context_url(headers: dict, response_url: str = "") -> str | None:
+    """The metadata URL a response's headers point at, or None — the pure
+    half of getLinkedContext (req-resolve.ts:19-30): no Link header, or a
+    ``content-type: application/ld+json`` response (the body IS the
+    metadata), yields None; otherwise the LAST qualifying target wins
+    ("implementations MUST use the metadata file referenced by the last
+    Link header")."""
+    lower = {str(k).lower(): v for k, v in headers.items()}
+    link = lower.get("link")
+    if not link or lower.get("content-type") == "application/ld+json":
+        return None
+    found = parse_link_header(link, response_url)
+    return found[-1] if found else None
+
+
+def locate_metadata(csv_url: str, cache: FetchCache | None = None,
+                    headers: dict | None = None) -> str | None:
+    """Metadata discovery for a CSV location (convertor.ts:220-318):
+    Link header (when response ``headers`` are supplied — the fetch itself
+    is the production seam) → sidecar/well-known defaults → None
+    (→ empty-schema fallback)."""
     cache = cache or FetchCache()
+    if headers:
+        linked = linked_context_url(headers, csv_url)
+        if linked is not None:
+            return linked
     base = Path(csv_url[len("file://"):] if csv_url.startswith("file://") else csv_url)
     for tpl in DEFAULT_LOCATIONS:
         cand = (str(base) + "-metadata.json" if tpl.startswith("{+url}")

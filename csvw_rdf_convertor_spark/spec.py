@@ -442,8 +442,14 @@ def _exact_lang_title(raw: Any, lang: str) -> str | None:
 def parse_column(raw: dict, index: int, inherited: dict, base: str = "",
                  default_lang: str = "@none",
                  ctx_lang: str = "@none") -> ColumnSpec:
-    """Column name derivation + inheritance (reference: convertor.ts:566-604)."""
-    merged = _sanitize_inherited(_merge_inherited(raw, inherited))
+    """Column name derivation + inheritance (reference: convertor.ts:566-604).
+
+    Invalid-typed values are NOT coerced here — that is the normalization
+    pass's job (descriptor_norm.sanitize_descriptor applies
+    _sanitize_inherited per level, like the reference's validate chain
+    inside normalizeDescriptor); direct parse_descriptor stays strict so
+    validation.validate_group still sees the raw values."""
+    merged = _merge_inherited(raw, inherited)
     titles, name_title = _titles_and_name(merged.get("titles"), default_lang)
     name = merged.get("name")
     q_title = _exact_lang_title(merged.get("titles"), ctx_lang)

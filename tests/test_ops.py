@@ -164,3 +164,23 @@ def test_ivf_assign_deterministic_centroids(spark, emb):
     c1 = [r.cent_id for r in similarity.ivf_assign(emb.limit(100), 4)[0].collect()]
     c2 = [r.cent_id for r in similarity.ivf_assign(emb.limit(100), 4)[0].collect()]
     assert c1 == c2 and len(c1) == 4
+
+
+def test_embedding_near_dup_unblocked_guard(spark, monkeypatch):
+    """The unblocked all-pairs branch must REFUSE large inputs (VERDICT r4
+    watch-list → task 7): same two-sided bound as plans/rdf2csvw's
+    cartesian guard."""
+    import pytest
+
+    from csvw_rdf_convertor_spark.ops import dedup
+    from csvw_rdf_convertor_spark.plans import rdf2csvw
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    monkeypatch.setattr(rdf2csvw, "CARTESIAN_GUARD_ROWS", 10)
+    with pytest.raises(ValueError, match="block_col"):
+        dedup.embedding_near_duplicates(emb)
+    # a blocked call is never guarded, whatever the size
+    blocked = emb.withColumn("b", F.col("vec_id") % 5)
+    dedup.embedding_near_duplicates(blocked, block_col="b").collect()

@@ -133,3 +133,27 @@ def test_minhash_band_exchange_carries_ids_only(spark):
         assert "sh#" not in ln and " sig#" not in ln, f"array leaked into band row: {ln}"
     # shingles still flow into the exact-Jaccard verify via the join-back
     assert "array_intersect" in plan
+
+
+def test_single_valued_pivot_reconstruction_one_exchange(spark):
+    """match_patterns(assume_single_valued=True) on a 10-column table is ONE
+    conditional aggregation — exactly one shuffle Exchange (on subj), not K
+    join shuffles (VERDICT r4 #5)."""
+    from pyspark.sql import functions as F
+
+    from csvw_rdf_convertor_spark.plans.rdf2csvw import (TriplePattern,
+                                                         match_patterns)
+    rows = [(f"urn:s#{i}", f"urn:p#{j}", f"v{i}{j}", "literal")
+            for i in range(4) for j in range(10)]
+    t = (spark.createDataFrame(
+        rows, "subj string, pred string, obj_lex string, obj_kind string")
+        .withColumn("obj_dtype", F.lit("")).withColumn("obj_lang", F.lit(""))
+        .withColumn("graph", F.lit("")))
+    pats = [TriplePattern(f"c{j}", f"urn:p#{j}") for j in range(10)]
+    out = match_patterns(t, pats, assume_single_valued=True)
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1, plan
+    # values identical to the join-chain path on single-valued data
+    chain = match_patterns(t, pats)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, chain.collect()))

@@ -8,10 +8,20 @@ dirs under test/rdf2csvwtests (manifest.json: input.ttl + csv-metadata.json
 columns, expected values trimmed, expected table name = result path with
 the test id prefix removed).
 
-The 18 ids the reference itself skips (rdf2csvw.test.ts:31-34 — official
-csvw2rdf suite entries whose warnings conflict with JSON-LD semantics) are
-marked xfail(strict=False): several still pass the row comparison, none are
-required to.
+The reference itself skips 18 ids (rdf2csvw.test.ts:31-34 — official
+csvw2rdf suite entries whose warnings conflict with JSON-LD semantics).
+Twelve of those still pass the row comparison here and run as ordinary
+tests. The remaining six are INFORMATION-DESTROYING reversals, xfailed with
+the evidence:
+
+- 038/039: a var-free ``valueUrl`` maps every cell value to one constant
+  IRI, and a cell equal to the ``null`` marker emits no triple — the
+  original cell text ('value', 'string') is gone from the graph.
+- 283: CSV rows "123%" and "+123%" both parse to "1.23"^^xsd:decimal — the
+  two RDF rows are byte-identical, the '+' row cannot be reconstructed.
+- 305/306/307: two columns share one propertyUrl, so 2 rows × 2 list cells
+  flatten to 12 (or 4 rdf:Lists of) values on ONE subject — the original
+  row/column partition is unrecoverable.
 """
 
 from __future__ import annotations
@@ -24,9 +34,13 @@ import pytest
 
 FIXTURE_DIR = "/root/reference/packages/core/test/rdf2csvwtests"
 
-#: +e.id values from rdf2csvw.test.ts:31-34
+#: +e.id values from rdf2csvw.test.ts:31-34 (documentation; most pass here)
 REFERENCE_SKIPPED = {93, 99, 101, 270, 38, 39, 195, 228, 229, 230, 283, 305,
                      306, 307, 285, 284, 259, 282}
+
+#: the subset whose forward conversion destroyed the information the
+#: expected CSV requires (see module docstring) — xfail with evidence
+UNRECOVERABLE = {38, 39, 283, 305, 306, 307}
 
 if os.path.isdir(FIXTURE_DIR):
     with open(os.path.join(FIXTURE_DIR, "manifest.json"),
@@ -38,10 +52,10 @@ else:  # pragma: no cover - reference checkout absent
 _PARAMS = [
     pytest.param(e, id=e["id"],
                  marks=[pytest.mark.xfail(
-                     strict=False,
-                     reason="skipped by the reference suite "
-                            "(rdf2csvw.test.ts:31-34)")]
-                 if int(e["id"]) in REFERENCE_SKIPPED else [])
+                     strict=True,
+                     reason="information-destroying reversal, also skipped "
+                            "by the reference suite (rdf2csvw.test.ts:31-34)")]
+                 if int(e["id"]) in UNRECOVERABLE else [])
     for e in _MANIFEST
 ]
 

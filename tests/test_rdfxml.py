@@ -147,3 +147,30 @@ def test_property_attributes_mixed_with_text_raises():
       </rdf:Description></rdf:RDF>"""
     with pytest.raises(ValueError):
         parse_rdfxml(doc)
+
+
+def test_rdf_type_property_attribute(spark, tmp_path):
+    """rdf:type as a property ATTRIBUTE emits a type triple with a resolved
+    IRI object — on node elements (§2.13) and on empty property elements
+    (§2.12) alike (ADVICE r4: previously filtered as a syntax attribute and
+    silently dropped on property elements)."""
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://ex.org/">
+  <rdf:Description rdf:about="http://ex.org/a"
+                   rdf:type="http://ex.org/TypeA">
+    <ex:rel rdf:resource="http://ex.org/b"
+            rdf:type="http://ex.org/TypeB"/>
+  </rdf:Description>
+</rdf:RDF>"""
+    p = tmp_path / "t.rdf"
+    p.write_text(xml)
+    from csvw_rdf_convertor_spark.sources.rdfxml import read_rdfxml
+    rows = {(r.subj, r.pred, r.obj_lex, r.obj_kind)
+            for r in read_rdfxml(spark, str(p)).collect()}
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert ("http://ex.org/a", RT, "http://ex.org/TypeA", "iri") in rows
+    assert ("http://ex.org/a", "http://ex.org/rel",
+            "http://ex.org/b", "iri") in rows
+    # the §2.12 case: type attribute applies to the property's OBJECT
+    assert ("http://ex.org/b", RT, "http://ex.org/TypeB", "iri") in rows
