@@ -914,6 +914,37 @@ FROM h GROUP BY simhash HAVING COUNT(*) > 1
 SQL_DEDUP_SIMHASH = _sql_simhash()
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """EXACT n-gram Jaccard pairs ≥ 0.6 via lossless prefix filtering
+    (ops/dedup.ngram_jaccard_pairs) — the brute-force oracle proves recall."""
+    docs = _p(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.6, hash_family="md5")
+
+
+def _sql_ngram_jaccard(threshold: float = 0.6) -> str:
+    """Brute-force all-pairs exact Jaccard (prefix filtering is lossless, so
+    the exhaustive pair set is identical)."""
+    return rf"""
+WITH nz AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT doc_id AS id,
+           list_distinct(list_transform(
+             range(0, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 3, 0) + 1),
+             i -> array_to_string(string_split_regex(trim(lower(text)), '\s+')[i+1:i+3], ' '))) AS sh
+    FROM documents)
+  WHERE len(sh) > 0)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh)), 6) AS jacc
+FROM nz a JOIN nz b ON a.id < b.id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(a.sh || b.sh)) >= {threshold}
+"""
+
+
+SQL_DEDUP_NGRAM_JACCARD = _sql_ngram_jaccard()
+
+
 def q_dedup_simhash_hamming(spark, sf_dir):
     """SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole banding (k+1
     hex slices) + exact verify (ops/dedup.simhash_hamming_pairs)."""
@@ -1671,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -1725,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": SQL_DEDUP_MINHASH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_simhash_hamming": SQL_DEDUP_SIMHASH_HAMMING,
+        "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "sim_topk_bruteforce": SQL_SIM_TOPK,
         "sim_lsh_topk": SQL_SIM_LSH_TOPK,
         "sim_ivf_topk": SQL_SIM_IVF_TOPK,

@@ -120,6 +120,57 @@ def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
     return pairs
 
 
+def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_words: int = 3,
+                        threshold: float = 0.8,
+                        hash_family: str = "xxhash64") -> DataFrame:
+    """EXACT word-n-gram Jaccard near-dup pairs (id_a, id_b, jacc ≥ t).
+
+    MinHash (minhash_near_duplicates) is the probabilistic path; this is the
+    exact one, kept scale-safe by PREFIX FILTERING (the PPJoin lemma, Xiao
+    et al. 2008): order each shingle set by one global canonical order (a
+    hash of the shingle — any fixed total order is valid), keep only the
+    first ``|S| - ⌈t·|S|⌉ + 1`` tokens per document, and self-join on those
+    prefix tokens — any pair with Jaccard ≥ t MUST share a prefix token, so
+    recall is lossless while hub shingles outside the prefixes never join.
+    The exchange carries (token, id) only; the exact Jaccard verify joins
+    shingle sets back on the uniform id key, like the MinHash verify.
+    """
+    from .minhash import jaccard, word_shingles
+    base = (docs.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    word_shingles(F.col(text_col), shingle_words).alias("sh"))
+            .where(F.size("sh") > 0))
+    if hash_family == "md5":
+        keyed = F.array_sort(F.transform(F.col("sh"), F.md5))
+    else:
+        # hex() of the 64-bit hash: fixed-width → lexicographic == a
+        # consistent global total order (all the lemma needs)
+        keyed = F.array_sort(F.transform(
+            F.col("sh"), lambda s: F.hex(F.xxhash64(s))))
+    prefix_len = (F.size("sh")
+                  - F.ceil(F.lit(float(threshold)) * F.size("sh"))
+                  + 1).cast("int")
+    toks = (base
+            .withColumn("tok", F.explode(
+                F.slice(keyed, F.lit(1), prefix_len)))
+            .select("tok", "id"))
+    cand = (toks.alias("l")
+            .join(toks.alias("r"), "tok")
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    sh_tbl = base.select(F.col("id"), F.col("sh"))
+    return (cand
+            .join(sh_tbl.select(F.col("id").alias("id_a"),
+                                F.col("sh").alias("sh_a")), "id_a")
+            .join(sh_tbl.select(F.col("id").alias("id_b"),
+                                F.col("sh").alias("sh_b")), "id_b")
+            .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
+            .where(F.col("jacc") >= threshold)
+            .select("id_a", "id_b", F.round("jacc", 6).alias("jacc")))
+
+
 def near_dup_clusters(pairs: DataFrame) -> DataFrame:
     """Pairs → (id, cluster_rep) via connected components (reuses the KG CC)."""
     from ..kg.cc import connected_components
