@@ -300,6 +300,32 @@ SELECT {_SK_NODE}, '{RDFNS}rest',
 """
 
 
+def q_rdf_list_linearize(spark, sf_dir):
+    """Inverse of T6 (beyond the reference — its rdf2csvw TODOs rdf lists):
+    pointer-doubling linearization of rdf:first/rest chains back to ordered
+    cells (plans/rdf2csvw.linearize_rdf_lists)."""
+    from csvw_rdf_convertor_spark.plans.rdf2csvw import linearize_rdf_lists
+    triples = q_csvw2rdf_rdf_list(spark, sf_dir)
+    items = linearize_rdf_lists(triples)
+    return (items.groupBy("head").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "obj_lex"))),
+                lambda s: s.obj_lex), " ").alias("cell"),
+        F.count("*").cast("bigint").alias("n_items"))
+        .select(F.col("head").alias("list_head"), "cell", "n_items"))
+
+
+SQL_RDF_LIST_LINEARIZE = f"""
+WITH p AS (SELECT string_split(p_type, ' ') AS l,
+                  row_number() OVER (ORDER BY CAST(p_partkey AS BIGINT)) AS rn
+           FROM part)
+SELECT {_SK_NODE0} AS list_head, array_to_string(l, ' ') AS cell,
+       CAST(len(l) AS BIGINT) AS n_items
+FROM p WHERE len(l) > 0
+"""
+
+
 def q_cell_bool_null_default(spark, sf_dir):
     """P2/P3/P7: boolean format 'Y|N', nulls suppressing triples, defaults."""
     desc = {
@@ -1673,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csvw2rdf_standard_region": q_csvw2rdf_standard_region,
         "csvw2rdf_list_split": q_csvw2rdf_list_split,
         "csvw2rdf_rdf_list": q_csvw2rdf_rdf_list,
+        "rdf_list_linearize": q_rdf_list_linearize,
         "cell_bool_null_default": q_cell_bool_null_default,
         "uri_template_encoding": q_uri_template_encoding,
         "trig_roundtrip": q_trig_roundtrip,
@@ -1730,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
         "csvw2rdf_standard_region": SQL_STANDARD_REGION,
         "csvw2rdf_list_split": SQL_LIST_SPLIT,
         "csvw2rdf_rdf_list": SQL_RDF_LIST,
+        "rdf_list_linearize": SQL_RDF_LIST_LINEARIZE,
         "cell_bool_null_default": SQL_CELL_BOOL,
         "uri_template_encoding": SQL_URI_ENCODING,
         "trig_roundtrip": SQL_WRITER_ROUNDTRIP,

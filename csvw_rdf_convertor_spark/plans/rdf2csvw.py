@@ -187,6 +187,81 @@ def labels(triples: DataFrame, pref_lang: str | None = None) -> DataFrame:
     return lab.where(F.col("rk") == 1).select("subj", F.col("obj_lex").alias("label"))
 
 
+# --- RDF list linearization ---------------------------------------------------
+
+RDF_FIRST = RDF + "first"
+RDF_REST = RDF + "rest"
+RDF_NIL = RDF + "nil"
+
+
+def linearize_rdf_lists(triples: DataFrame, *, max_rounds: int = 32
+                        ) -> DataFrame:
+    """(head, pos, obj_lex, obj_kind, obj_dtype, obj_lang) for every item of
+    every rdf:first/rdf:rest list in the graph — the inverse of T6 that the
+    reference leaves as a TODO (rdf2csvw/convertor.ts:142 "TODO: rdf lists").
+
+    Distributed pointer doubling: each list node starts pointing at its
+    PREDECESSOR (rdf:rest reversed; a well-formed list has at most one) with
+    distance 1, heads point nowhere. Each round jumps every pointer to its
+    pointer's pointer and adds the distances — list position resolves in
+    O(log L) self-joins on the node key, never a per-list sequential walk
+    (the same doubling idea as large-star/small-star in kg/cc.py). Refuses
+    after ``max_rounds`` non-converged rounds (a cycle or a 2^32-long list —
+    malformed either way)."""
+    rest = (triples.where(F.col("pred") == RDF_REST)
+            .select(F.col("subj").alias("node"),
+                    F.col("obj_lex").alias("nxt")))
+    first = (triples.where(F.col("pred") == RDF_FIRST)
+             .select(F.col("subj").alias("node"), "obj_lex", "obj_kind",
+                     "obj_dtype", "obj_lang"))
+    pred_edge = (rest.where(F.col("nxt") != RDF_NIL)
+                 .select(F.col("nxt").alias("node"),
+                         F.col("node").alias("ptr")))
+    state = (first.select("node")
+             .join(pred_edge, "node", "left")
+             .withColumn("dist", F.when(F.col("ptr").isNull(), 0)
+                         .otherwise(1)))
+    for _ in range(max_rounds):
+        state = state.localCheckpoint(eager=True)  # cut doubling lineage
+        if state.where(F.col("ptr").isNotNull()).join(
+                state.select(F.col("node").alias("ptr"),
+                             F.col("ptr").alias("_p")).where(
+                                 F.col("_p").isNotNull()),
+                "ptr", "left_semi").isEmpty():
+            break
+        hop = state.select(F.col("node").alias("ptr"),
+                           F.col("ptr").alias("ptr2"),
+                           F.col("dist").alias("dist2"))
+        state = (state.join(hop, "ptr", "left")
+                 .select("node",
+                         F.coalesce("ptr2", "ptr").alias("ptr"),
+                         (F.col("dist") + F.coalesce("dist2", F.lit(0)))
+                         .alias("dist")))
+    else:
+        raise ValueError(
+            f"rdf:rest chains did not resolve in {max_rounds} doubling "
+            "rounds — cyclic or absurdly long list structure")
+    resolved = state.select(
+        "node", F.coalesce("ptr", "node").alias("head"),
+        F.col("dist").alias("pos"))
+    return (first.join(resolved, "node")
+            .select("head", "pos", "obj_lex", "obj_kind", "obj_dtype",
+                    "obj_lang"))
+
+
+def rdf_list_cells(triples: DataFrame, separator: str) -> DataFrame:
+    """(head, cell): each list's item lexical forms joined in LIST ORDER —
+    the cell an ordered separator column round-trips back to."""
+    items = linearize_rdf_lists(triples)
+    return (items.groupBy("head")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("pos"), F.col("obj_lex")))),
+                    lambda s: s.obj_lex),
+                separator).alias("cell")))
+
+
 # --- J1–J3: BGP matching as joins --------------------------------------------
 
 @dataclass(frozen=True)
@@ -399,6 +474,10 @@ class PatternNode:
     #: into ONE cell (canonical value order; fixtures 228-230). Constraints
     #: then apply per ITEM and only warn — no binding filter.
     separator: str | None = None
+    #: separator + ``ordered`` → the binding is an rdf:List HEAD; the cell is
+    #: the linearized items in LIST order (beyond the reference — its
+    #: rdf2csvw leaves "TODO: rdf lists")
+    ordered: bool = False
     children: tuple["PatternNode", ...] = ()
 
 
@@ -568,6 +647,7 @@ def compile_table_query(table) -> tuple[list[CompiledColumn], list[PatternNode]]
             dt=(c.datatype if (obj_var and not is_type
                                and c.separator is None) else None),
             separator=c.separator if (obj_var and not is_type) else None,
+            ordered=bool(c.ordered),
             children=tuple(children))
 
     roots: list[PatternNode] = []
@@ -735,12 +815,23 @@ def match_table_query(triples: DataFrame, out_cols: list[CompiledColumn],
         f = f.select(*sel)
         if (node.separator is not None and node.obj_var
                 and node.obj_var != node.subj_var):
-            # one cell per subject: canonical (sorted) value order — the
-            # reference's store iteration order is arbitrary, this is the
-            # retry-stable choice that matches the fixtures
-            f = f.groupBy(node.subj_var).agg(
-                F.array_join(F.array_sort(F.collect_list(node.obj_var)),
-                             node.separator).alias(node.obj_var))
+            if node.ordered:
+                # ordered list cell: the binding is an rdf:List head —
+                # replace it with the linearized items in LIST order;
+                # non-list bindings pass through (left join + coalesce)
+                cells = (rdf_list_cells(triples, node.separator)
+                         .withColumnRenamed("head", node.obj_var))
+                f = (f.join(cells, node.obj_var, "left")
+                     .withColumn(node.obj_var,
+                                 F.coalesce("cell", F.col(node.obj_var)))
+                     .drop("cell"))
+            else:
+                # one cell per subject: canonical (sorted) value order — the
+                # reference's store iteration order is arbitrary, this is
+                # the retry-stable choice that matches the fixtures
+                f = f.groupBy(node.subj_var).agg(
+                    F.array_join(F.array_sort(F.collect_list(node.obj_var)),
+                                 node.separator).alias(node.obj_var))
         for ch in node.children:
             cf = frame(ch)
             shared = sorted(set(f.columns) & set(cf.columns))
