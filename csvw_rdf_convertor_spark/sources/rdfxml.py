@@ -22,8 +22,16 @@ Subset covered (the shapes the W3C CSVW corpus and common vocab dumps use):
   chains with deterministic bnode ids);
 - ``xml:base`` resolution for about/resource/ID;
 - ``rdf:parseType="Literal"`` → rdf:XMLLiteral-typed literal whose lexical
-  form is ElementTree's deterministic serialization of the content (NOT
-  exclusive canonicalization — documented seam).
+  form is EXCLUSIVE XML CANONICALIZATION (xml-exc-c14n, without comments)
+  of the content, per RDF 1.1 Concepts §5.1: attributes sorted by
+  (namespace-URI, local-name), namespace declarations only for visibly-
+  utilized prefixes not already rendered by an output ancestor, c14n
+  character escaping, no self-closing tags. One documented seam remains:
+  ElementTree does not record WHICH source prefix a namespace binding used
+  when several in-scope prefixes bind the same URI — the serializer then
+  picks deterministically (default prefix first, then lexicographic), and
+  that choice could differ from the source document's. One binding per URI
+  (the overwhelmingly common case) round-trips exactly.
 
 Unsupported (raises ``ValueError``): reification attributes
 (``rdf:bagID``), ``rdf:aboutEach``.
@@ -70,16 +78,144 @@ def _resolve(iri: str, base: str) -> str:
     return urllib.parse.urljoin(base, iri)
 
 
+def _parse_with_scopes(text: str):
+    """Parse, recording each element's IN-SCOPE prefix→URI map (what
+    ``ET.fromstring`` throws away and exclusive c14n needs). Returns
+    ``(root, scopes)`` with ``scopes`` keyed by ``id(element)`` — ids stay
+    valid because the tree keeps every element alive."""
+    parser = ET.XMLPullParser(("start", "end", "start-ns"))
+    parser.feed(text)
+    scopes: dict[int, dict[str, str]] = {}
+    stack: list[dict[str, str]] = [{}]
+    pending: list[tuple[str, str]] = []
+    root = None
+    for ev, obj in parser.read_events():
+        if ev == "start-ns":
+            pending.append(obj)          # (prefix, uri); '' = default ns
+        elif ev == "start":
+            scope = dict(stack[-1])
+            scope.update(pending)
+            pending.clear()
+            stack.append(scope)
+            scopes[id(obj)] = scope
+            if root is None:
+                root = obj
+        else:                            # end
+            stack.pop()
+    parser.close()
+    if root is None:
+        raise ValueError("empty RDF/XML document")
+    return root, scopes
+
+
 def parse_rdfxml(text: str, base: str = "") -> list[Triple7]:
-    root = ET.fromstring(text)
+    root, scopes = _parse_with_scopes(text)
     out: list[Triple7] = []
     base = root.get(_XML_NS + "base", base)
     if root.tag == _RDF_NS + "RDF":
         for i, child in enumerate(root):
-            _node(child, base, out, path=f"[{i}]")
+            _node(child, base, out, path=f"[{i}]", scopes=scopes)
     else:
-        _node(root, base, out, path="$")
+        _node(root, base, out, path="$", scopes=scopes)
     return out
+
+
+# --- exclusive XML canonicalization (xml-exc-c14n, without comments) ----
+# Subset serializer for rdf:XMLLiteral lexical forms: ET's default parser
+# already drops comments and processing instructions, so the
+# "without comments" variant is exactly what the tree holds.
+
+_XML_URI = "http://www.w3.org/XML/1998/namespace"
+
+
+def _esc_text(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+             .replace(">", "&gt;").replace("\r", "&#xD;"))
+
+
+def _esc_attr(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+             .replace('"', "&quot;").replace("\t", "&#x9;")
+             .replace("\n", "&#xA;").replace("\r", "&#xD;"))
+
+
+def _prefix_for(uri: str, scope: dict[str, str], path: str,
+                attr: bool = False) -> str:
+    """Deterministic prefix choice for a namespace URI (docstring seam:
+    the source prefix is unrecoverable when several bind the same URI).
+    Attributes cannot use the default prefix."""
+    if uri == _XML_URI:
+        return "xml"
+    cands = [p for p, u in scope.items() if u == uri and (p or not attr)]
+    if not cands:
+        raise ValueError(
+            f"XMLLiteral content at {path} uses namespace {uri!r} with no "
+            f"in-scope {'non-default ' if attr else ''}prefix declaration")
+    return min(cands, key=lambda p: (p != "", p))
+
+
+def _c14n_elem(el: ET.Element, scopes: dict[int, dict[str, str]],
+               rendered: dict[str, str], out: list[str], path: str) -> None:
+    scope = scopes.get(id(el), {})
+    if el.tag.startswith("{"):
+        uri, local = el.tag[1:].split("}", 1)
+        eprefix = _prefix_for(uri, scope, path)
+    else:
+        uri, local, eprefix = "", el.tag, ""
+    name = f"{eprefix}:{local}" if eprefix else local
+
+    # visibly-utilized namespace prefixes: the element's own + each
+    # namespaced attribute's (exc-c14n §3; xml: is built in, never declared)
+    utilized: dict[str, str] = {}
+    if uri:
+        utilized[eprefix] = uri
+    elif rendered.get(""):
+        utilized[""] = ""                # undeclare inherited default ns
+    attrs = []
+    for aname, aval in el.attrib.items():
+        if aname.startswith("{"):
+            auri, alocal = aname[1:].split("}", 1)
+            if auri == _XML_URI:
+                aprefix = "xml"
+            else:
+                aprefix = _prefix_for(auri, scope, path, attr=True)
+                utilized[aprefix] = auri
+            attrs.append((auri, alocal, f"{aprefix}:{alocal}", aval))
+        else:
+            attrs.append(("", aname, aname, aval))
+
+    decls = sorted((p, u) for p, u in utilized.items()
+                   if p != "xml" and rendered.get(p, "") != u)
+    new_rendered = rendered
+    if decls:
+        new_rendered = dict(rendered)
+        new_rendered.update(decls)
+
+    out.append("<" + name)
+    for p, u in decls:                   # ns nodes first, sorted by prefix
+        out.append(f' xmlns="{_esc_attr(u)}"' if p == ""
+                   else f' xmlns:{p}="{_esc_attr(u)}"')
+    for auri, alocal, aqname, aval in sorted(attrs):
+        out.append(f' {aqname}="{_esc_attr(aval)}"')
+    out.append(">")
+    out.append(_esc_text(el.text or ""))
+    for j, child in enumerate(el):
+        _c14n_elem(child, scopes, new_rendered, out, f"{path}.{j}")
+        out.append(_esc_text(child.tail or ""))
+    out.append(f"</{name}>")
+
+
+def _c14n_literal(prop: ET.Element, scopes: dict[int, dict[str, str]],
+                  path: str) -> str:
+    """Exclusive c14n of a parseType="Literal" property element's CONTENT
+    (mixed text + elements). The output context starts empty — every
+    visibly-utilized prefix re-declares inside the literal, which is what
+    makes the lexical form context-free (RDF 1.1 Concepts §5.1)."""
+    parts = [_esc_text(prop.text or "")]
+    for j, child in enumerate(prop):
+        _c14n_elem(child, scopes, {}, parts, f"{path}.{j}")
+        parts.append(_esc_text(child.tail or ""))
+    return "".join(parts)
 
 
 def _subject_of(el: ET.Element, base: str, path: str) -> tuple[str, str]:
@@ -96,7 +232,7 @@ def _subject_of(el: ET.Element, base: str, path: str) -> tuple[str, str]:
 
 
 def _node(el: ET.Element, base: str, out: list[Triple7], path: str,
-          lang: str = "") -> tuple[str, str]:
+          lang: str = "", scopes: dict | None = None) -> tuple[str, str]:
     """Emit a node element's triples; returns (subject, kind)."""
     base = el.get(_XML_NS + "base", base)
     lang = el.get(_XML_NS + "lang", lang)
@@ -121,12 +257,12 @@ def _node(el: ET.Element, base: str, out: list[Triple7], path: str,
         else:
             emit(a_iri, val, "literal", "", lang)
     for j, prop in enumerate(el):
-        _property(prop, subj, base, out, f"{path}.{j}", lang, emit)
+        _property(prop, subj, base, out, f"{path}.{j}", lang, emit, scopes)
     return subj, kind
 
 
 def _property(prop: ET.Element, subj: str, base: str, out: list[Triple7],
-              path: str, lang: str, emit) -> None:
+              path: str, lang: str, emit, scopes: dict | None = None) -> None:
     pred = _split_qname(prop.tag)
     lang = prop.get(_XML_NS + "lang", lang)
     parse_type = prop.get(_RDF_NS + "parseType")
@@ -135,13 +271,12 @@ def _property(prop: ET.Element, subj: str, base: str, out: list[Triple7],
     dtype = prop.get(_RDF_NS + "datatype")
 
     if parse_type == "Literal":
-        # XML literal (RDF/XML §2.11): content serializes as the lexical
-        # form, datatype rdf:XMLLiteral. ElementTree's serialization is
-        # deterministic but NOT exclusive-c14n (prefixes may be rewritten
-        # ns0:…) — faithful enough for fixture parity, documented here.
-        inner = (prop.text or "") + "".join(
-            ET.tostring(c, encoding="unicode") for c in prop)
-        emit(pred, inner, "literal", RDF + "XMLLiteral")
+        # XML literal (RDF/XML §2.11): content canonicalizes to the
+        # lexical form (exclusive c14n without comments, RDF 1.1 Concepts
+        # §5.1), datatype rdf:XMLLiteral. Source prefixes are preserved
+        # via the pull-parser scope map (see _parse_with_scopes).
+        emit(pred, _c14n_literal(prop, scopes or {}, path),
+             "literal", RDF + "XMLLiteral")
         return
     if parse_type == "Resource":
         b = "_:" + skolem_value("rdfxml-res", path)[:24]
@@ -149,7 +284,8 @@ def _property(prop: ET.Element, subj: str, base: str, out: list[Triple7],
         for j, child in enumerate(prop):
             def bemit(p2, lex, k2, d2="", l2=""):
                 out.append((b, p2, lex, k2, d2, l2, ""))
-            _property(child, b, base, out, f"{path}.{j}", lang, bemit)
+            _property(child, b, base, out, f"{path}.{j}", lang, bemit,
+                      scopes)
         return
     if parse_type == "Collection":
         items = [(j, child) for j, child in enumerate(prop)]
@@ -160,7 +296,7 @@ def _property(prop: ET.Element, subj: str, base: str, out: list[Triple7],
                  for j, _c in items]
         emit(pred, heads[0], "bnode")
         for idx, (j, child) in enumerate(items):
-            o, okind = _node(child, base, out, f"{path}.{j}", lang)
+            o, okind = _node(child, base, out, f"{path}.{j}", lang, scopes)
             out.append((heads[idx], RDF + "first", o, okind, "", "", ""))
             nxt = (heads[idx + 1], "bnode") if idx + 1 < len(heads) \
                 else (RDF + "nil", "iri")
@@ -198,7 +334,7 @@ def _property(prop: ET.Element, subj: str, base: str, out: list[Triple7],
         if prop_attrs:
             raise ValueError(f"property attributes alongside a node-element "
                              f"child at {path}")
-        o, okind = _node(children[0], base, out, f"{path}.0", lang)
+        o, okind = _node(children[0], base, out, f"{path}.0", lang, scopes)
         emit(pred, o, okind)
         return
     if prop_attrs:

@@ -72,7 +72,7 @@ def test_deterministic_bnodes():
 
 def test_parse_type_literal_xmlliteral():
     """rdf:parseType='Literal' (RDF/XML §2.11) → rdf:XMLLiteral-typed
-    literal; lexical form is ET's deterministic serialization."""
+    literal; lexical form is exclusive c14n of the content."""
     doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
              xmlns:ex="http://e/">
       <rdf:Description rdf:about="http://s">
@@ -83,6 +83,52 @@ def test_parse_type_literal_xmlliteral():
     assert row[3] == "literal" and row[4] == RDF + "XMLLiteral"
     assert row[2] == "pre <b>markup</b> post"
     assert parse_rdfxml(doc) == t  # deterministic
+
+
+def test_xmlliteral_exc_c14n_prefixes_and_attrs():
+    """Exclusive c14n of XMLLiteral content (RDF 1.1 Concepts §5.1):
+    source prefixes declared on an ANCESTOR re-declare inside the literal
+    (visibly-utilized only), attributes sort by (ns-uri, local-name) with
+    un-namespaced attrs first, tags never self-close."""
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:ex="http://e/" xmlns:svg="http://www.w3.org/2000/svg"
+             xmlns:un="http://unused/">
+      <rdf:Description rdf:about="http://s">
+        <ex:x rdf:parseType="Literal"><svg:rect svg:width="3" height="2"
+          aria="y"/> t</ex:x>
+      </rdf:Description></rdf:RDF>"""
+    (row,) = [r for r in parse_rdfxml(doc) if r[1] == "http://e/x"]
+    # svg: re-declared (utilized), un:/ex:/rdf: NOT (exc-c14n); attr order:
+    # no-ns attrs (aria, height) sorted, then svg:width; no self-closing
+    assert row[2] == ('<svg:rect xmlns:svg="http://www.w3.org/2000/svg"'
+                      ' aria="y" height="2" svg:width="3"></svg:rect> t')
+
+
+def test_xmlliteral_exc_c14n_escaping_and_nesting():
+    """c14n escaping: text escapes & < > and CR; attribute values escape
+    & < " TAB LF CR; an inner re-declaration does not repeat on a child
+    already covered by the literal-local output context."""
+    doc = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+           ' xmlns:ex="http://e/">'
+           '<rdf:Description rdf:about="http://s">'
+           '<ex:x rdf:parseType="Literal">a&amp;b<ex:i ex:q="x&amp;&quot;y">'
+           '1 &lt; 2<ex:j/></ex:i>&gt;tail</ex:x>'
+           '</rdf:Description></rdf:RDF>')
+    (row,) = [r for r in parse_rdfxml(doc) if r[1] == "http://e/x"]
+    assert row[2] == ('a&amp;b<ex:i xmlns:ex="http://e/" ex:q="x&amp;&quot;y">'
+                      '1 &lt; 2<ex:j></ex:j></ex:i>&gt;tail')
+
+
+def test_xmlliteral_exc_c14n_default_ns():
+    """Content in the DEFAULT namespace: xmlns re-declares inside the
+    literal; a no-namespace sibling needs no declaration."""
+    doc = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+           ' xmlns:ex="http://e/">'
+           '<rdf:Description rdf:about="http://s">'
+           '<ex:x rdf:parseType="Literal"><p xmlns="http://h/">d</p>'
+           '<q>n</q></ex:x></rdf:Description></rdf:RDF>')
+    (row,) = [r for r in parse_rdfxml(doc) if r[1] == "http://e/x"]
+    assert row[2] == '<p xmlns="http://h/">d</p><q>n</q>'
 
 
 def test_bare_typed_node_root():
