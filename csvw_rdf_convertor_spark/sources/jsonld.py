@@ -98,7 +98,12 @@ class _Context:
             return value  # blank node identifier (json-ld §3.4)
         if value in self.terms:
             iri = self.terms[value].get("@id", value)
-            return iri if _ABS_IRI.match(iri) else self.expand_iri(iri, vocab)
+            # ALWAYS re-expand a term definition's @id (unless it is the
+            # term itself): "skos:prefLabel" matches the scheme regex yet
+            # is a COMPACT IRI whenever the skos prefix is defined —
+            # json-ld-api §5.2 step 6.3 (the NKOD OFN context exposed
+            # this: every remote-context term stayed compact).
+            return iri if iri == value else self.expand_iri(iri, vocab)
         if ":" in value:
             prefix, suffix = value.split(":", 1)
             if prefix in self.terms and not suffix.startswith("//"):
@@ -172,7 +177,12 @@ def jsonld_to_triples(doc: Any, *, base: str = "",
     root_ctx = _Context()
     root_ctx.base = base
     _walk_top(doc, root_ctx, resolver, out)
-    return out
+    # An RDF graph is a SET of triples (RDF 1.1 Concepts §3.1); JSON-LD
+    # routinely states one node in several nestings (e.g. the NKOD golden
+    # lists each concept both under its scheme's items and under its
+    # broader concept's narrower), which syntactically repeats triples.
+    # Dedupe order-preservingly so downstream joins keep set semantics.
+    return list(dict.fromkeys(out))
 
 
 def _walk_top(doc: Any, ctx: _Context, resolver, out: list[Triple7],

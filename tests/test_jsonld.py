@@ -249,3 +249,35 @@ def test_nest_with_id_raises():
            "@nest": {"@id": "http://other", "q": "x"}}
     with pytest.raises(ValueError):
         jsonld_to_triples(doc)
+
+
+def test_term_definition_compact_iri_expands():
+    """A term definition whose @id is a COMPACT IRI ("skos:prefLabel")
+    must expand through the prefix defined in the same context — the
+    scheme regex alone cannot distinguish it from an absolute IRI
+    (json-ld-api §5.2 step 6.3; found by the NKOD OFN remote context,
+    where every term stayed compact)."""
+    doc = {
+        "@context": {
+            "skos": "http://www.w3.org/2004/02/skos/core#",
+            "label": {"@id": "skos:prefLabel"},
+            "Scheme": "skos:ConceptScheme",
+            "typ": "@type",
+        },
+        "@id": "http://s",
+        "typ": "Scheme",
+        "label": "x",
+    }
+    t = set(jsonld_to_triples(doc))
+    SKOS = "http://www.w3.org/2004/02/skos/core#"
+    RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert ("http://s", RDF_T, SKOS + "ConceptScheme",
+            "iri", "", "", "") in t
+    assert ("http://s", SKOS + "prefLabel", "x",
+            "literal", "", "", "") in t
+    # absolute @id with a scheme that happens to equal a defined prefix
+    # must NOT re-expand (suffix starts with //)
+    doc2 = {"@context": {"http": "http://p/", "q": {"@id": "http://e/q"}},
+            "@id": "http://s", "q": "v"}
+    assert ("http://s", "http://e/q", "v", "literal", "", "", "") \
+        in set(jsonld_to_triples(doc2))

@@ -47,10 +47,34 @@ def _load_descriptor(name: str) -> dict:
         return json.load(f)
 
 
+#: The .jsonld goldens import https://ofn.gov.cz/číselníky/2022-02-08/
+#: kontexty/číselník.jsonld — a remote @context (FETCHING stays the
+#: sandboxed network seam; sources/jsonld.py raises without a resolver).
+#: tests/data/ofn_ciselnik_context.jsonld is a reconstruction of the
+#: needed subset of that PUBLIC context (OFN "číselník" = SKOS codelist:
+#: iri/typ keyword aliases, název→prefLabel language map, kód→notation,
+#: položky→@reverse inScheme), pinned by the golden pair itself: test 2
+#: proves that expanding the .jsonld through it reproduces the .nt/.ttl
+#: golden graph exactly. This exercises the resolver seam the same way
+#: the reference's fetch path would — with recorded content.
+_CTX_URL = ("https://ofn.gov.cz/číselníky/2022-02-08/kontexty/"
+            "číselník.jsonld")
+_CTX_FILE = os.path.join(os.path.dirname(__file__), "data",
+                         "ofn_ciselnik_context.jsonld")
+
+
+def _ofn_resolver(url: str) -> str:
+    if url == _CTX_URL:
+        with open(_CTX_FILE, encoding="utf-8") as f:
+            return f.read()
+    raise ValueError(f"unexpected remote context {url!r}")
+
+
 def _parse_golden(spark, name: str, fmt: str):
     from csvw_rdf_convertor_spark.sources.parse import read_rdf
     path = os.path.join(NKOD_DIR, name, f"{name}.{fmt}")
-    return read_rdf(spark, path)
+    return read_rdf(spark, path,
+                    resolver=_ofn_resolver if fmt == "jsonld" else None)
 
 
 def _expected_rows(result_path: str) -> list[dict]:
@@ -64,20 +88,10 @@ def _canon_rows(rows: list[dict]) -> list[tuple]:
     return sorted(tuple(sorted(r.items())) for r in rows)
 
 
-#: the .jsonld goldens import https://ofn.gov.cz/…/číselník.jsonld — a
-#: remote @context; fetching is the sandboxed network seam
-#: (sources/jsonld.py raises rather than guessing). The reference's own
-#: NKOD block is commented out upstream (rdf2csvw.test.ts:41-50).
-_XFAIL_REMOTE_CTX = pytest.mark.xfail(
-    strict=True, reason="remote JSON-LD @context requires network")
-
-
 @pytest.mark.skipif(not _MANIFEST, reason="reference NKOD goldens absent")
 @pytest.mark.parametrize(
     "entry",
-    [pytest.param(e, id=e["action"].rsplit(".", 1)[-1] + "-" + e["id"],
-                  marks=[_XFAIL_REMOTE_CTX]
-                  if e["action"].endswith(".jsonld") else [])
+    [pytest.param(e, id=e["action"].rsplit(".", 1)[-1] + "-" + e["id"])
      for e in _MANIFEST])
 def test_nkod_rdf2csvw(spark, entry):
     from csvw_rdf_convertor_spark.plans.rdf2csvw_run import convert
@@ -112,7 +126,7 @@ def test_nkod_formats_parse_to_one_graph(spark, name):
     allowed_extra = {t for t in base
                      if t[1].endswith("#hasTopConcept")}
     assert len(allowed_extra) <= 1
-    for fmt in ("nt", "nq", "rdf", "trig"):  # jsonld: remote @context seam
+    for fmt in ("nt", "nq", "rdf", "trig", "jsonld"):
         other = graphless(_parse_golden(spark, name, fmt))
         assert other - base == set(), fmt
         assert base - other <= allowed_extra, fmt
