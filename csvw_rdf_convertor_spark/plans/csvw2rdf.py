@@ -460,7 +460,8 @@ def apply_template_iris(triples: DataFrame) -> DataFrame:
 
 
 def group_to_triples(dfs: dict[str, DataFrame], group, *, minimal: bool = True,
-                     default_lang: str = "") -> DataFrame:
+                     default_lang: str = "",
+                     allow_arrival_order: bool = False) -> DataFrame:
     """Convert every (non-suppressed) table of a TableGroupSpec and union.
 
     Standard mode also re-emits group-scope external annotations on the
@@ -472,7 +473,8 @@ def group_to_triples(dfs: dict[str, DataFrame], group, *, minimal: bool = True,
         if t.suppressOutput:
             continue
         spark = dfs[t.url].sparkSession
-        part = table_to_triples(dfs[t.url], t, minimal=minimal)
+        part = table_to_triples(dfs[t.url], t, minimal=minimal,
+                                allow_arrival_order=allow_arrival_order)
         out = part if out is None else out.unionByName(part)
     if out is None:
         raise ValueError("no unsuppressed tables")
@@ -487,10 +489,11 @@ def group_to_triples(dfs: dict[str, DataFrame], group, *, minimal: bool = True,
     return out
 
 
-def issues(df: DataFrame, table: TableSpec) -> DataFrame:
+def issues(df: DataFrame, table: TableSpec,
+           allow_arrival_order: bool = False) -> DataFrame:
     """Side-output issues DF: required-cell violations with (table,row,column)
     location (reference: utils/issue-tracker.ts:34-126)."""
-    df = _row_numbers(df, table)
+    df = _row_numbers(df, table, allow_arrival_order=allow_arrival_order)
     checks = []
     for col in table.columns:
         if col.virtual or not col.required:

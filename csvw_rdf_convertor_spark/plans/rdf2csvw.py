@@ -301,10 +301,15 @@ def _local_name(iri: str) -> str:
     return iri
 
 
-def infer_tables(triples: DataFrame) -> list[InferredTable]:
+def infer_tables(triples: DataFrame, *,
+                 use_vocab_metadata: bool = True) -> list[InferredTable]:
     """Full schema inference: one table per rdf:type (A1), columns from the
     predicates its subjects use, multi-valued predicates flagged for link
     tables (A2), names from IRI local names with label override (A5).
+
+    ``use_vocab_metadata=False`` skips the A5 label pass and names tables
+    purely from IRI local names (the CLI's ``--no-useVocabMetadata``;
+    cli rdf2csvw/command.ts:55-60).
 
     All aggregates are metadata-sized (predicates × types), collected to the
     driver to build the spec — mirrors the reference's incremental
@@ -322,11 +327,14 @@ def infer_tables(triples: DataFrame) -> list[InferredTable]:
     # by the vocabulary size, not the number of labeled entities (on a large
     # graph where most entities carry labels, an unbounded labels() collect
     # is a driver OOM).
-    type_iris = (triples.where(F.col("pred") == RDF_TYPE)
-                 .select(F.col("obj_lex").alias("subj")).distinct())
-    label_map = {r.subj: r.label
-                 for r in labels(triples)
-                 .join(type_iris, "subj", "left_semi").collect()}
+    if use_vocab_metadata:
+        type_iris = (triples.where(F.col("pred") == RDF_TYPE)
+                     .select(F.col("obj_lex").alias("subj")).distinct())
+        label_map = {r.subj: r.label
+                     for r in labels(triples)
+                     .join(type_iris, "subj", "left_semi").collect()}
+    else:
+        label_map = {}
     out: list[InferredTable] = []
     for type_iri, rows in _group_rows(sp.collect(), "type_iri").items():
         pats, multi = [], []
@@ -352,12 +360,18 @@ def _group_rows(rows, key):
     return out
 
 
-def reconstruct_tables(triples: DataFrame) -> dict[str, DataFrame]:
+def reconstruct_tables(triples: DataFrame,
+                       tables: list[InferredTable] | None = None,
+                       ) -> dict[str, DataFrame]:
     """rdf2csvw end-to-end: infer schema, then per table match its subjects'
     BGP and rebuild rows; multi-valued predicates become link tables
     (``<table>_<pred>`` with (subject, value)) like schema-inferrer.ts:135-197.
+
+    ``tables`` lets a caller that already ran :func:`infer_tables` (e.g. the
+    CLI, which also writes the inferred schema as ``descriptor.json``) skip
+    the second inference pass.
     """
-    tables = infer_tables(triples)
+    tables = infer_tables(triples) if tables is None else tables
     typed = subjects_by_type(triples)
     out: dict[str, DataFrame] = {}
     for t in tables:

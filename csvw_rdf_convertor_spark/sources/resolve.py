@@ -190,8 +190,16 @@ def resolve_with_header(csv_url: str, *, cache: FetchCache | None = None,
             raw = {**raw, "url": csv_url}
     ctx_lang = context_language(raw)
     group_lang = raw.get("lang")
+    # table urls are relative to the METADATA document's location (CSVW
+    # metadata §5.1.2; the reference resolves them the same way in
+    # csv-url-to-rdf), not to the process cwd
+    anchor = Path(meta).parent if meta is not None else Path(
+        csv_url[len("file://"):] if csv_url.startswith("file://")
+        else csv_url).parent
     for t in (raw["tables"] if "tables" in raw else [raw]):
         lang = t.get("lang") or group_lang or ctx_lang or "@none"
-        apply_csv_header(t, cache.overrides.apply(t.get("url", csv_url)),
-                         default_lang=lang)
+        url = cache.overrides.apply(t.get("url", csv_url))
+        if not (Path(url).is_absolute() or re.match(r"^[a-z][\w+.-]*://", url)):
+            url = str(anchor / url)
+        apply_csv_header(t, url, default_lang=lang)
     return parse_descriptor(raw, base or "")

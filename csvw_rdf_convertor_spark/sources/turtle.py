@@ -64,8 +64,15 @@ def _compact_term(iri: Column, prefix_map: dict[str, str]) -> Column:
 
 
 def to_turtle_lines(triples: DataFrame,
-                    prefix_map: dict[str, str] | None = None) -> tuple[list[str], DataFrame]:
-    """Returns (@prefix header lines, DF of one Turtle statement per line)."""
+                    prefix_map: dict[str, str] | None = None,
+                    *, with_graphs: bool = False) -> tuple[list[str], DataFrame]:
+    """Returns (@prefix header lines, DF of one Turtle statement per line).
+
+    ``with_graphs=True`` is the streaming TriG variant (the reference routes
+    ``.trig`` through the same N3 StreamWriter, loaders/serialize.ts:44-66):
+    each named-graph statement becomes its own single-statement
+    ``<g> { s p o . }`` block — valid TriG, one line per triple, fully
+    distributed (no per-graph grouping shuffle)."""
     pm = prefix_map if prefix_map is not None else build_prefix_map(triples)
     header = [f"@prefix {p}: <{ns}> ." for p, ns in sorted(pm.items())]
 
@@ -82,7 +89,13 @@ def to_turtle_lines(triples: DataFrame,
               F.concat(lit_body, F.lit("^^"), _compact_term(F.col("obj_dtype"), pm)))
         .otherwise(lit_body)
     )
-    lines = triples.select(F.concat_ws(" ", s, p, o, F.lit(".")).alias("line"))
+    stmt = F.concat_ws(" ", s, p, o, F.lit("."))
+    if with_graphs:
+        g = F.when(F.col("graph").startswith("_:"), F.col("graph")) \
+             .otherwise(_compact_term(F.col("graph"), pm))
+        stmt = F.when((F.col("graph").isNull()) | (F.col("graph") == ""), stmt) \
+                .otherwise(F.concat(g, F.lit(" { "), stmt, F.lit(" }")))
+    lines = triples.select(stmt.alias("line"))
     return header, lines
 
 
