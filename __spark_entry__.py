@@ -441,6 +441,34 @@ def q_jsonld_write_roundtrip(spark, sf_dir):
     return read_jsonld(spark, path).select(*TRIPLE_OUT, "graph")
 
 
+def q_rdfxml_write_roundtrip(spark, sf_dir):
+    """S5 writers under the hash gate, RDF/XML direction — BEYOND the
+    reference (its N3 route writes Turtle for 'rdfxml',
+    rdf-serialization.ts:1-8): nation triples (default graph — RDF/XML has
+    no named graphs, the writer refuses them) → real RDF/XML document →
+    reparse with sources/rdfxml.py → triples DF."""
+    import os
+    import tempfile
+
+    from csvw_rdf_convertor_spark.sources.rdfxml import read_rdfxml
+    from csvw_rdf_convertor_spark.sources.rdfxml_write import to_rdfxml
+
+    tri = q_csvw2rdf_minimal_nation(spark, sf_dir) \
+        .withColumn("graph", F.lit(""))
+    doc = to_rdfxml(tri)
+    path = os.path.join(tempfile.mkdtemp(prefix="rdfxml_rt_"), "doc.rdf")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(doc)
+    return read_rdfxml(spark, path).select(*TRIPLE_OUT, "graph")
+
+
+SQL_RDFXML_ROUNDTRIP = f"""
+WITH t AS ({SQL_MINIMAL_NATION})
+SELECT subj, pred, obj_lex, obj_kind, obj_dtype, obj_lang, '' AS graph
+FROM t
+"""
+
+
 SQL_WRITER_ROUNDTRIP = f"""
 WITH t AS ({SQL_MINIMAL_NATION})
 SELECT subj, pred, obj_lex, obj_kind, obj_dtype, obj_lang,
@@ -1704,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uri_template_encoding": q_uri_template_encoding,
         "trig_roundtrip": q_trig_roundtrip,
         "jsonld_write_roundtrip": q_jsonld_write_roundtrip,
+        "rdfxml_write_roundtrip": q_rdfxml_write_roundtrip,
         "kg_turn_triples": q_kg_turn_triples,
         # joins / aggs / windows / set ops (§2.4–2.7)
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1762,6 +1791,7 @@ def oracle_sql() -> dict[str, str]:
         "uri_template_encoding": SQL_URI_ENCODING,
         "trig_roundtrip": SQL_WRITER_ROUNDTRIP,
         "jsonld_write_roundtrip": SQL_WRITER_ROUNDTRIP,
+        "rdfxml_write_roundtrip": SQL_RDFXML_ROUNDTRIP,
         "kg_turn_triples": SQL_KG_TURNS,
         "q1_pricing_summary": SQL_Q1,
         "q3_top_orders": SQL_Q3,

@@ -170,9 +170,6 @@ def cmd_csvw2rdf(args) -> int:
     from .sources.resolve import FetchCache, resolve_with_header
 
     fmt = args.format or infer_format(args.output) or "turtle"
-    if fmt == "rdfxml":
-        raise SystemExit("csvw2rdf output formats: nquads ntriples turtle "
-                         "trig jsonld (command.ts:39-44)")
     if args.turtle_prefix_lookup:
         raise NotImplementedError(
             "--turtle.prefixLookup queries the prefix.cc web service "
@@ -236,9 +233,9 @@ def cmd_csvw2rdf(args) -> int:
             _stream_lines(lines, out, header)
         else:
             doc = serialize_rdf(
-                triples, {"turtle": "ttl", "trig": "trig",
-                          "jsonld": "jsonld"}[fmt],
-                prefixes if fmt != "jsonld" else
+                triples, {"turtle": "ttl", "trig": "trig", "jsonld": "jsonld",
+                          "rdfxml": "rdfxml"}[fmt],
+                prefixes if fmt not in ("jsonld", "rdfxml") else
                 (_prefix_pairs(args.turtle_prefix) or None))
             out.write(doc if doc.endswith("\n") else doc + "\n")
     finally:
@@ -474,9 +471,11 @@ def build_parser() -> argparse.ArgumentParser:
     c2r.add_argument("-o", "--output",
                      help="Output file (default: stdout)")
     c2r.add_argument("--format", choices=("nquads", "ntriples", "turtle",
-                                          "trig", "jsonld"),
+                                          "trig", "jsonld", "rdfxml"),
                      help="Output RDF serialization (default: inferred from "
-                          "the output extension, else turtle)")
+                          "the output extension, else turtle). rdfxml is "
+                          "beyond the reference CLI, whose N3 writer "
+                          "silently emits Turtle for .rdf outputs")
     c2r.add_argument("--minimal", action="store_true",
                      help="Use minimal conversion mode")
     c2r.add_argument("--templateIris", action=argparse.BooleanOptionalAction,

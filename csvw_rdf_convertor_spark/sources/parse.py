@@ -55,4 +55,9 @@ def serialize_rdf(triples, fmt: str, prefix_map: dict | None = None):
     if fmt == "jsonld":
         from .jsonld_write import to_jsonld
         return to_jsonld(triples, prefix_map)
+    if fmt in ("rdf", "rdfxml", "xml"):
+        # beyond the reference: its N3 route writes TURTLE for 'rdfxml'
+        # (rdf-serialization.ts:1-8) — this is real RDF/XML
+        from .rdfxml_write import to_rdfxml
+        return to_rdfxml(triples, prefix_map)
     raise ValueError(f"unsupported RDF output format: {fmt!r}")

@@ -126,6 +126,17 @@ def test_csvw2rdf_from_csv_with_sidecar(spark, workdir):
     assert _graph(spark, out) == EXPECTED
 
 
+def test_csvw2rdf_rdfxml_output(spark, workdir):
+    # beyond the reference CLI: real RDF/XML (its N3 writer emits Turtle
+    # for .rdf outputs — rdf-serialization.ts:1-8)
+    out = str(workdir / "out.rdf")
+    rc = main(["csvw2rdf", "-i", str(workdir / "meta.json"),
+               "-o", out, "--minimal", "--format", "rdfxml"])
+    assert rc == 0
+    assert "<rdf:RDF" in (workdir / "out.rdf").read_text()
+    assert _graph(spark, out) == EXPECTED
+
+
 def test_csvw2rdf_prefix_lookup_is_a_seam(workdir):
     with pytest.raises(NotImplementedError):
         main(["csvw2rdf", "-i", str(workdir / "meta.json"),
