@@ -348,10 +348,18 @@ def cmd_rdf2csvw(args) -> int:
         from .descriptor_norm import normalize_descriptor
         with open(args.descriptor, encoding="utf-8") as f:
             raw = json.load(f)
-        base = args.baseIri or os.path.dirname(os.path.abspath(args.descriptor))
-        tables = convert(spark, raw, triples, loader=cache.load_json,
-                         base=base)
-        norm = normalize_descriptor(raw, base=base, loader=cache.load_json)
+        # base here governs descriptor SEMANTICS (template IRI expansion —
+        # it must match how the input graph's IRIs were minted, default
+        # none, same as the conformance harness); referenced
+        # tableSchema/dialect files still LOAD relative to the descriptor
+        desc_dir = os.path.dirname(os.path.abspath(args.descriptor))
+
+        def loader(url: str):
+            return cache.load_json(_resolve_local(url, desc_dir))
+
+        base = args.baseIri or ""
+        tables = convert(spark, raw, triples, loader=loader, base=base)
+        norm = normalize_descriptor(raw, base=base, loader=loader)
         group = parse_descriptor(norm, base)
         from .plans.rdf2csvw_run import table_output_name
         dialects = {table_output_name(t.url): t.dialect

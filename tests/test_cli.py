@@ -243,6 +243,54 @@ def test_streaming_trig_graph_blocks_roundtrip(spark, tmp_path):
     assert got == set(rows)
 
 
+FIXTURE_DIR = "/root/reference/packages/core/test/rdf2csvwtests"
+
+
+def _fixture_sample():
+    """First few reference conformance fixtures (skipping the adjudicated
+    information-destroying reversals — tests/test_rdf2csvw_fixtures.py)."""
+    if not os.path.isdir(FIXTURE_DIR):
+        return []
+    with open(os.path.join(FIXTURE_DIR, "manifest.json"),
+              encoding="utf-8") as f:
+        manifest = json.load(f)
+    skip = {38, 39, 283, 305, 306, 307}
+    return [e for e in manifest if int(e["id"]) not in skip][:5]
+
+
+@pytest.mark.skipif(not _fixture_sample(), reason="reference fixtures absent")
+@pytest.mark.parametrize("entry", _fixture_sample(),
+                         ids=lambda e: e["id"])
+def test_cli_rdf2csvw_reference_fixture(spark, entry, tmp_path):
+    """The CLI end-to-end on the reference's OWN conformance corpus:
+    rdf2csvw -i input.ttl -d csv-metadata.json writes CSVs that match the
+    fixture's expected files (same row-set comparison as
+    tests/test_rdf2csvw_fixtures.py / rdf2csvw.test.ts:109-176)."""
+    import csv as _csv
+    outdir = tmp_path / "out"
+    rc = main(["rdf2csvw",
+               "-i", os.path.join(FIXTURE_DIR, entry["action"]),
+               "-d", os.path.join(FIXTURE_DIR, entry["metadata"]),
+               "-o", str(outdir)])
+    assert rc == 0
+
+    def canon(rows):
+        return sorted(tuple(sorted((k.strip(), (v or "").strip())
+                                   for k, v in r.items())) for r in rows)
+
+    for p in entry["result"]:
+        name = p.split("/", 1)[1] if "/" in p else p
+        with open(os.path.join(FIXTURE_DIR, p), newline="",
+                  encoding="utf-8-sig") as f:
+            want = list(_csv.DictReader(f))
+        got_path = outdir / name
+        assert got_path.exists(), f"missing output table {name}"
+        with open(got_path, newline="", encoding="utf-8") as f:
+            got = list(_csv.DictReader(f))
+        assert canon(got) == canon(want), f"table {name}"
+    assert (outdir / "descriptor.json").exists()
+
+
 def test_common_prefixes_are_valid_iris():
     for pref, ns in COMMON_PREFIXES.items():
         assert ns.startswith("http"), pref
