@@ -388,35 +388,37 @@ def cmd_rdf2csvw(args) -> int:
 # validate
 # --------------------------------------------------------------------------
 
-def cmd_validate(args) -> int:
-    """Descriptor + data validation (validate/handler.ts:21-64): structural
-    issues from normalization + document validation, then distributed
-    row-level checks (required cells, FK existence) when the CSVs resolve."""
+def validation_issues(inp: str | None, base_iri: str | None,
+                      overrides) -> "list":
+    """Descriptor + data validation core (validate/handler.ts:21-64):
+    structural issues from normalization + document validation, then
+    distributed row-level checks (required cells) when the CSVs resolve.
+    Shared by the CLI command and the web service (ws.py)."""
     from .descriptor_norm import normalize_descriptor
     from .spec import parse_descriptor
     from .validation import Issue, validate_document, validate_group
 
     from .sources.resolve import FetchCache, locate_metadata
-    cache = FetchCache(_overrides(args))
+    cache = FetchCache(overrides)
 
-    if args.input and re.search(r"\.csv([?#].*)?$", args.input):
-        meta = locate_metadata(args.input, cache)
+    if inp and re.search(r"\.csv([?#].*)?$", inp):
+        meta = locate_metadata(inp, cache)
         if meta is None:
-            raw: dict = {"url": args.input, "tableSchema": {"columns": []}}
-            base_dir = os.path.dirname(os.path.abspath(args.input))
+            raw: dict = {"url": inp, "tableSchema": {"columns": []}}
+            base_dir = os.path.dirname(os.path.abspath(inp))
         else:
             with open(meta, encoding="utf-8") as f:
                 raw = json.load(f)
             base_dir = os.path.dirname(os.path.abspath(meta))
     else:
-        raw = json.loads(_read_descriptor_text(args.input))
-        base_dir = (os.path.dirname(os.path.abspath(args.input))
-                    if args.input else os.getcwd())
+        raw = json.loads(_read_descriptor_text(inp))
+        base_dir = (os.path.dirname(os.path.abspath(inp))
+                    if inp else os.getcwd())
 
-    base = args.baseIri or base_dir
+    base = base_iri or base_dir
     issues: list[Issue] = []
     norm = normalize_descriptor(raw, base=base, loader=cache.load_json,
-                                issues=issues, url=args.input or "")
+                                issues=issues, url=inp or "")
     issues.extend(validate_document(norm))
     group = None
     try:
@@ -439,7 +441,11 @@ def cmd_validate(args) -> int:
             for r in data_issues(df, t, allow_arrival_order=True).collect():
                 issues.append(Issue("error", r.table, f"row {r.row}",
                                     f"{r.column}: {r.message}"))
+    return issues
 
+
+def cmd_validate(args) -> int:
+    issues = validation_issues(args.input, args.baseIri, _overrides(args))
     for i in issues:
         stream = sys.stderr if i.level == "error" else sys.stdout
         where = " ".join(x for x in (i.table, i.location) if x)
