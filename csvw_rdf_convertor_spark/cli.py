@@ -216,7 +216,7 @@ def cmd_csvw2rdf(args) -> int:
 
     if args.distributed_output:
         return _write_distributed(triples, fmt, args.distributed_output,
-                                  prefixes)
+                                  prefixes, base=args.turtle_base or "")
     out = _open_output(args.output)
     try:
         if fmt in ("nquads", "ntriples"):
@@ -232,11 +232,14 @@ def cmd_csvw2rdf(args) -> int:
                 header = header + [f"@base <{args.turtle_base}> ."]
             _stream_lines(lines, out, header)
         else:
+            # --turtle.base reaches the buffered writers too (they emit an
+            # @base directive / xml:base), not just the streaming branch
             doc = serialize_rdf(
                 triples, {"turtle": "ttl", "trig": "trig", "jsonld": "jsonld",
                           "rdfxml": "rdfxml"}[fmt],
                 prefixes if fmt not in ("jsonld", "rdfxml") else
-                (_prefix_pairs(args.turtle_prefix) or None))
+                (_prefix_pairs(args.turtle_prefix) or None),
+                base=args.turtle_base or "")
             out.write(doc if doc.endswith("\n") else doc + "\n")
     finally:
         if out is not sys.stdout:
@@ -245,17 +248,18 @@ def cmd_csvw2rdf(args) -> int:
 
 
 def _write_distributed(triples, fmt: str, path: str,
-                       prefixes: dict[str, str]) -> int:
+                       prefixes: dict[str, str], base: str = "") -> int:
     """The 100 TB output path: Spark text part files, no driver funnel."""
     from .sources.parse import serialize_rdf
-    from .sources.turtle import to_turtle_lines, write_turtle
+    from .sources.turtle import to_turtle_lines
     if fmt in ("nquads", "ntriples"):
         serialize_rdf(triples, "nq" if fmt == "nquads" else "nt") \
             .write.mode("overwrite").text(path)
-    elif fmt == "turtle":
-        write_turtle(triples, path, prefixes)
-    elif fmt == "trig":
-        header, lines = to_turtle_lines(triples, prefixes, with_graphs=True)
+    elif fmt in ("turtle", "trig"):
+        header, lines = to_turtle_lines(triples, prefixes,
+                                        with_graphs=(fmt == "trig"))
+        if base:  # --turtle.base applies to the distributed header too
+            header = header + [f"@base <{base}> ."]
         spark = triples.sparkSession
         spark.createDataFrame([(h,) for h in header], "line string") \
             .coalesce(1).write.mode("overwrite").text(f"{path}/_prefixes")
@@ -283,7 +287,7 @@ def _write_single_csv(df, path: str, dialect=None) -> None:
     ``--distributed-output``)."""
     from .spec import DialectSpec
     d = dialect or DialectSpec()
-    with open(path, "w", encoding=d.encoding or "utf-8", newline="") as f:
+    with open(path, "w", encoding=d.codec, newline="") as f:
         kw = dict(delimiter=d.delimiter, quotechar=d.quoteChar or '"',
                   lineterminator=(d.lineTerminators[0]
                                   if d.lineTerminators else "\n"))
@@ -343,9 +347,9 @@ def cmd_rdf2csvw(args) -> int:
     os.makedirs(outdir, exist_ok=True)
 
     if args.descriptor:
-        from .plans.rdf2csvw_run import convert
-        from .spec import parse_descriptor
         from .descriptor_norm import normalize_descriptor
+        from .plans.rdf2csvw_run import convert_parsed, table_output_name
+        from .spec import parse_descriptor
         with open(args.descriptor, encoding="utf-8") as f:
             raw = json.load(f)
         # base here governs descriptor SEMANTICS (template IRI expansion —
@@ -358,10 +362,12 @@ def cmd_rdf2csvw(args) -> int:
             return cache.load_json(_resolve_local(url, desc_dir))
 
         base = args.baseIri or ""
-        tables = convert(spark, raw, triples, loader=loader, base=base)
+        # normalize+parse ONCE; the same group drives the conversion, the
+        # dialect map, and the descriptor.json output (no second pass that
+        # could diverge via loader side effects)
         norm = normalize_descriptor(raw, base=base, loader=loader)
         group = parse_descriptor(norm, base)
-        from .plans.rdf2csvw_run import table_output_name
+        tables = convert_parsed(triples, group)
         dialects = {table_output_name(t.url): t.dialect
                     for t in group.tables}
         descriptor_out = norm

@@ -711,7 +711,11 @@ def _datatype_filter(dt: "DatatypeSpec"):
         return None
     cons = []
     if FM.is_numeric(dt):
-        num = v.cast("double")
+        # try_cast, not cast: this expression is a FILTER CONDITION under
+        # ANSI-on Spark 4 — a non-numeric lexical in the predicate slice
+        # must evaluate to NULL→false (SPARQL type error semantics), not
+        # throw CAST_INVALID_INPUT for the whole job (CLAUDE.md cast rule).
+        num = v.try_cast("double")
         for bound, op in ((dt.minimum, lambda c: num >= c),
                           (dt.maximum, lambda c: num <= c),
                           (dt.minExclusive, lambda c: num > c),

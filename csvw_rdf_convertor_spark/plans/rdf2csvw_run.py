@@ -53,6 +53,14 @@ def convert(spark: SparkSession, descriptor: dict, triples: DataFrame,
     """
     norm = normalize_descriptor(descriptor, base=base, loader=loader)
     group = parse_descriptor(norm, base=base)
+    return convert_parsed(triples, group)
+
+
+def convert_parsed(triples: DataFrame, group) -> dict[str, DataFrame]:
+    """:func:`convert` for a descriptor that is ALREADY normalized+parsed —
+    callers that also need the normalized document or the parsed group
+    (the CLI writes both) run the pipeline once and pass the group here
+    instead of paying (and trusting) a second normalize/parse pass."""
     out: dict[str, DataFrame] = {}
     for table in group.tables:
         if not table.columns or table.suppressOutput:

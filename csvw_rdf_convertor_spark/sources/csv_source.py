@@ -51,7 +51,8 @@ def read_csv(spark: SparkSession, path: str, table: TableSpec) -> DataFrame:
     if len(d.lineTerminators) == 1:
         text_opts["lineSep"] = d.lineTerminators[0]
     if d.encoding and d.encoding.lower() not in ("utf-8", "utf8"):
-        text_opts["encoding"] = d.encoding
+        # .codec: Node label → java.nio charset name ('utf16le' → 'UTF-16LE')
+        text_opts["encoding"] = d.codec
     df = spark.read.options(**text_opts).text(path)
 
     if d.commentPrefix:

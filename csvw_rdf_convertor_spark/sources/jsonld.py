@@ -102,8 +102,13 @@ class _Context:
             # term itself): "skos:prefLabel" matches the scheme regex yet
             # is a COMPACT IRI whenever the skos prefix is defined —
             # json-ld-api §5.2 step 6.3 (the NKOD OFN context exposed
-            # this: every remote-context term stayed compact).
-            return iri if iri == value else self.expand_iri(iri, vocab)
+            # this: every remote-context term stayed compact). A term whose
+            # definition has NO explicit @id (e.g. "skos:broader":
+            # {"@type": "@id"}) maps to the expansion of the term KEY
+            # itself — fall through to the prefix/vocab branches instead
+            # of returning the compact form.
+            if iri != value:
+                return self.expand_iri(iri, vocab)
         if ":" in value:
             prefix, suffix = value.split(":", 1)
             if prefix in self.terms and not suffix.startswith("//"):

@@ -33,7 +33,8 @@ def read_rdf(spark, path: str, base: str = "", resolver=None):
     return read_turtle(spark, path, base)
 
 
-def serialize_rdf(triples, fmt: str, prefix_map: dict | None = None):
+def serialize_rdf(triples, fmt: str, prefix_map: dict | None = None,
+                  base: str = ""):
     """Format router for RDF OUTPUT — parity twin of loaders/serialize.ts:
     44-66 (N3 StreamWriter for nt/nq/ttl/trig, streaming JSON-LD writer).
 
@@ -48,10 +49,10 @@ def serialize_rdf(triples, fmt: str, prefix_map: dict | None = None):
         return to_ntriples_lines(triples)
     if fmt in ("ttl", "turtle"):
         from .turtle import to_pretty_turtle
-        return to_pretty_turtle(triples, prefix_map)
+        return to_pretty_turtle(triples, prefix_map, base)
     if fmt == "trig":
         from .turtle import to_pretty_trig
-        return to_pretty_trig(triples, prefix_map)
+        return to_pretty_trig(triples, prefix_map, base)
     if fmt == "jsonld":
         from .jsonld_write import to_jsonld
         return to_jsonld(triples, prefix_map)
@@ -59,5 +60,5 @@ def serialize_rdf(triples, fmt: str, prefix_map: dict | None = None):
         # beyond the reference: its N3 route writes TURTLE for 'rdfxml'
         # (rdf-serialization.ts:1-8) — this is real RDF/XML
         from .rdfxml_write import to_rdfxml
-        return to_rdfxml(triples, prefix_map)
+        return to_rdfxml(triples, prefix_map, base)
     raise ValueError(f"unsupported RDF output format: {fmt!r}")

@@ -69,13 +69,31 @@ def split_qname(iri: str) -> tuple[str, str]:
     return iri[:m.start()], iri[m.start():]
 
 
-def _node_id(label: str) -> str:
-    """rdf:nodeID value for a ``_:label`` bnode. The production requires an
-    NCName; skolem hex labels may start with a digit, so those are
-    deterministically prefixed (bnode labels are document-scoped — a
-    uniform relabeling preserves the graph)."""
-    label = label[2:] if label.startswith("_:") else label
-    return label if _NCNAME.match(label) else "b" + label
+def _strip_bnode(label: str) -> str:
+    return label[2:] if label.startswith("_:") else label
+
+
+def _node_id_map(labels: set[str]) -> dict[str, str]:
+    """Document-scoped INJECTIVE NCName relabeling for rdf:nodeID values.
+
+    NCName labels keep their name; others are prefixed with ``b`` (and any
+    NCName-invalid characters hex-escaped). Prefixing alone is not
+    injective — ``_:1`` and ``_:b1`` would both become ``b1`` and merge two
+    distinct nodes on re-parse — so images are assigned over the document's
+    full label set with a deterministic ``_k`` counter on collision."""
+    out: dict[str, str] = {}
+    taken: set[str] = set()
+    for lab in sorted(labels):
+        cand = lab if _NCNAME.match(lab) else "b" + "".join(
+            c if re.match(r"[A-Za-z0-9._\-]", c) else f"_{ord(c):x}_"
+            for c in lab)
+        final, k = cand, 0
+        while final in taken:
+            k += 1
+            final = f"{cand}_{k}"
+        out[lab] = final
+        taken.add(final)
+    return out
 
 
 def _check_xml_literal(lex: str) -> str:
@@ -132,10 +150,13 @@ def pretty_rdfxml(rows, prefix_map: dict[str, str] | None = None,
     by_subj: dict[str, list] = {}
     for r in rows:
         by_subj.setdefault(r[0], []).append(r)
+    bnode_labels = ({_strip_bnode(s) for s in by_subj if s.startswith("_:")}
+                    | {_strip_bnode(r[2]) for r in rows if r[3] == "bnode"})
+    nid = _node_id_map(bnode_labels)
     for subj in sorted(by_subj):
         if subj.startswith("_:"):
             out.append(f'  <rdf:Description rdf:nodeID='
-                       f'"{_esc_attr(_node_id(subj))}">')
+                       f'"{_esc_attr(nid[_strip_bnode(subj)])}">')
         else:
             out.append(f'  <rdf:Description rdf:about="{_esc_attr(subj)}">')
         for r in sorted(set(by_subj[subj])):
@@ -146,7 +167,7 @@ def pretty_rdfxml(rows, prefix_map: dict[str, str] | None = None,
                 out.append(f'    <{q} rdf:resource="{_esc_attr(lex)}"/>')
             elif kind == "bnode":
                 out.append(f'    <{q} rdf:nodeID='
-                           f'"{_esc_attr(_node_id(lex))}"/>')
+                           f'"{_esc_attr(nid[_strip_bnode(lex)])}"/>')
             elif dtype == XMLLITERAL:
                 out.append(f'    <{q} rdf:parseType="Literal">'
                            f"{_check_xml_literal(lex)}</{q}>")

@@ -166,6 +166,14 @@ class DatatypeSpec:
         return DatatypeSpec(**kwargs)
 
 
+#: Node Buffer encoding label → a codec name valid in Python AND java.nio.
+_NODE_CODECS = {
+    "ascii": "US-ASCII", "utf8": "utf-8", "utf-8": "utf-8",
+    "utf16le": "UTF-16LE", "ucs2": "UTF-16LE",
+    "latin1": "ISO-8859-1", "binary": "ISO-8859-1",
+}
+
+
 @dataclass(frozen=True)
 class DialectSpec:
     """CSV dialect (reference: types/descriptor/dialect-description.ts:4-65)."""
@@ -189,6 +197,24 @@ class DialectSpec:
         if self.headerRowCount is not None:
             return self.headerRowCount
         return 1 if self.header else 0
+
+    @property
+    def codec(self) -> str:
+        """``encoding`` translated from the descriptor's Node Buffer label
+        (the validation whitelist mirrors validation/dialect.ts:17-33) to a
+        name valid in BOTH Python's codec registry and java.nio (the Spark
+        text reader) — 'utf16le'/'ucs2'/'binary' are Node-only spellings
+        that would otherwise crash a validator-approved descriptor at the
+        reader/writer. Node's 'base64'/'hex' Buffer labels are not text
+        encodings and raise here (loudly, not LookupError deep in a sink)."""
+        enc = (self.encoding or "utf-8").lower()
+        try:
+            return _NODE_CODECS[enc]
+        except KeyError:
+            raise ValueError(
+                f"dialect encoding {self.encoding!r} is not a text codec "
+                "(Node's base64/hex Buffer labels have no meaning for CSV "
+                "text)") from None
 
     @staticmethod
     def parse(raw: dict | None) -> "DialectSpec":

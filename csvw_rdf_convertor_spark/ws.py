@@ -36,6 +36,7 @@ import io
 import json
 import os
 import re
+import shutil
 import tempfile
 import zipfile
 from email.parser import BytesParser
@@ -94,28 +95,46 @@ def _parse_body(content_type: str, body: bytes) -> tuple[dict, dict]:
     raise RequestError(415, f"unsupported content type {content_type!r}")
 
 
+def _check_local(files: dict, val: str, what: str) -> None:
+    """Reject a path option that is neither an uploaded file nor an
+    existing server-local file (remote URLs are the network seam)."""
+    if val in files or os.path.basename(val) in files:
+        return
+    if re.match(r"^https?://", val):
+        raise RequestError(
+            422, f"remote {what} requires outbound network — a production "
+                 "seam (sources/resolve.FetchCache); upload the file or "
+                 "give a server-local path")
+    if not os.path.exists(val):
+        raise RequestError(422, f"{what} {val!r} is neither an uploaded "
+                                "file nor an existing server path")
+
+
+def _resolve_path(workdir: str, files: dict, val: str) -> str:
+    """Uploaded name → its materialized tempdir path; else the (already
+    validated) server-local path unchanged."""
+    if val in files or os.path.basename(val) in files:
+        return os.path.join(workdir, os.path.basename(val))
+    return val
+
+
 def _materialize(options: dict, files: dict) -> tuple[str, str]:
     """Write uploaded files into a tempdir; return (workdir, input path).
-    Local server paths pass through; remote URLs raise (network seam)."""
+    Local server paths pass through; remote URLs raise (network seam).
+    All request validation happens BEFORE mkdtemp so rejected requests
+    never leak a workdir; callers remove the workdir in a finally."""
     inp = options.get("input")
     if not isinstance(inp, str) or not inp:
         raise RequestError(400, "options.input is required")
+    _check_local(files, inp, "input")
+    if options.get("descriptor"):
+        _check_local(files, options["descriptor"], "descriptor")
     workdir = tempfile.mkdtemp(prefix="csvw_ws_")
     for name, text in files.items():
         safe = os.path.basename(name)
         with open(os.path.join(workdir, safe), "w", encoding="utf-8") as f:
             f.write(text)
-    if inp in files or os.path.basename(inp) in files:
-        return workdir, os.path.join(workdir, os.path.basename(inp))
-    if re.match(r"^https?://", inp):
-        raise RequestError(
-            422, "remote inputs require outbound network — a production "
-                 "seam (sources/resolve.FetchCache); upload the file or "
-                 "give a server-local path")
-    if not os.path.exists(inp):
-        raise RequestError(422, f"input {inp!r} is neither an uploaded "
-                                "file nor an existing server path")
-    return workdir, inp
+    return workdir, _resolve_path(workdir, files, inp)
 
 
 def _override_argv(options: dict) -> list[str]:
@@ -133,57 +152,69 @@ def _override_argv(options: dict) -> list[str]:
 def handle_csvw2rdf(options: dict, files: dict) -> tuple[str, bytes]:
     """→ (mime type, document bytes). Runs the CLI's conversion path."""
     workdir, inp = _materialize(options, files)
-    fmt = options.get("format") or "turtle"
-    if fmt not in MIME_TYPES:
-        raise RequestError(400, f"unknown format {fmt!r}")
-    out = os.path.join(workdir, "out." + _EXT[fmt])
-    argv = ["csvw2rdf", "-i", inp, "-o", out, "--format", fmt]
-    if options.get("minimal"):
-        argv.append("--minimal")
-    if options.get("templateIris") is False:  # ws default: true (route schema)
-        argv.append("--no-templateIris")
-    prefixes = (options.get("turtle") or {}).get("prefixes") or {}
-    if prefixes:
-        argv.append("--turtle.prefix")
-        for p, iri in prefixes.items():
-            argv += [p + ":", iri]
-    argv += _override_argv(options)
-    cli.main(argv)
-    with open(out, "rb") as f:
-        return MIME_TYPES[fmt], f.read()
+    try:
+        fmt = options.get("format") or "turtle"
+        if fmt not in MIME_TYPES:
+            raise RequestError(400, f"unknown format {fmt!r}")
+        out = os.path.join(workdir, "out." + _EXT[fmt])
+        argv = ["csvw2rdf", "-i", inp, "-o", out, "--format", fmt]
+        if options.get("minimal"):
+            argv.append("--minimal")
+        if options.get("templateIris") is False:  # ws default: true
+            argv.append("--no-templateIris")
+        prefixes = (options.get("turtle") or {}).get("prefixes") or {}
+        if prefixes:
+            argv.append("--turtle.prefix")
+            for p, iri in prefixes.items():
+                argv += [p + ":", iri]
+        argv += _override_argv(options)
+        cli.main(argv)
+        with open(out, "rb") as f:
+            return MIME_TYPES[fmt], f.read()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 def handle_rdf2csvw(options: dict, files: dict) -> tuple[str, bytes]:
     """→ ('application/zip', archive of CSV tables + descriptor.json)."""
     workdir, inp = _materialize(options, files)
-    outdir = os.path.join(workdir, "out")
-    argv = ["rdf2csvw", "-i", inp, "-o", outdir]
-    if options.get("useVocabMetadata") is False:
-        argv.append("--no-useVocabMetadata")
-    if options.get("descriptor") and options["descriptor"] in files:
-        argv += ["-d", os.path.join(workdir,
-                                    os.path.basename(options["descriptor"]))]
-    argv += _override_argv(options)
-    cli.main(argv)
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
-        for name in sorted(os.listdir(outdir)):
-            z.write(os.path.join(outdir, name), name)
-    return "application/zip", buf.getvalue()
+    try:
+        outdir = os.path.join(workdir, "out")
+        argv = ["rdf2csvw", "-i", inp, "-o", outdir]
+        if options.get("useVocabMetadata") is False:
+            argv.append("--no-useVocabMetadata")
+        if options.get("descriptor"):
+            # uploaded file or server-local path — same contract as input
+            # (_materialize already validated it; never silently ignored)
+            argv += ["-d", _resolve_path(workdir, files,
+                                         options["descriptor"])]
+        argv += _override_argv(options)
+        cli.main(argv)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            for name in sorted(os.listdir(outdir)):
+                z.write(os.path.join(outdir, name), name)
+        return "application/zip", buf.getvalue()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 def handle_validate(options: dict, files: dict) -> tuple[str, bytes]:
     """→ ('application/x-ndjson', one JSON object per issue per line)."""
     from .sources.resolve import PathOverrides
     workdir, inp = _materialize(options, files)
-    issues = cli.validation_issues(
-        inp, options.get("baseIri"),
-        PathOverrides(dict(options.get("pathOverrides") or {})))
-    lines = [json.dumps({"type": i.level, "table": i.table,
-                         "location": i.location, "message": i.message},
-                        ensure_ascii=False)
-             for i in issues]
-    return "application/x-ndjson", ("\n".join(lines) + "\n").encode("utf-8")
+    try:
+        issues = cli.validation_issues(
+            inp, options.get("baseIri"),
+            PathOverrides(dict(options.get("pathOverrides") or {})))
+        lines = [json.dumps({"type": i.level, "table": i.table,
+                             "location": i.location, "message": i.message},
+                            ensure_ascii=False)
+                 for i in issues]
+        return ("application/x-ndjson",
+                ("\n".join(lines) + "\n").encode("utf-8"))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 ROUTES = {

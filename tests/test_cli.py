@@ -295,3 +295,29 @@ def test_common_prefixes_are_valid_iris():
     for pref, ns in COMMON_PREFIXES.items():
         assert ns.startswith("http"), pref
         assert ns.endswith(("#", "/")), pref
+
+
+def test_pretty_turtle_honors_base(spark, workdir):
+    """--turtle.base must reach the BUFFERED writer too, not just the
+    streaming branch (it silently vanished with --no-turtle.streaming)."""
+    out = str(workdir / "based.ttl")
+    rc = main(["csvw2rdf", "-i", str(workdir / "meta.json"), "-o", out,
+               "--minimal", "--no-turtle.streaming",
+               "--turtle.base", "http://base.example/"])
+    assert rc == 0
+    assert "@base <http://base.example/> ." in (workdir / "based.ttl").read_text()
+    assert _graph(spark, out) == EXPECTED
+
+
+def test_write_single_csv_node_encoding(spark, tmp_path):
+    """A dialect encoding given as a Node Buffer label ('utf16le') must
+    write through Python's codec registry instead of raising LookupError."""
+    from csvw_rdf_convertor_spark.cli import _write_single_csv
+    from csvw_rdf_convertor_spark.spec import DialectSpec
+    df = spark.createDataFrame([("1", "Álice")], "id string, name string")
+    p = str(tmp_path / "enc.csv")
+    _write_single_csv(df, p, DialectSpec(encoding="utf16le"))
+    with open(p, "rb") as f:
+        lines = f.read().decode("utf-16-le").splitlines()
+    assert lines[0] == "id,name"
+    assert lines[1] == "1,Álice"

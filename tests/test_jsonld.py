@@ -281,3 +281,23 @@ def test_term_definition_compact_iri_expands():
             "@id": "http://s", "q": "v"}
     assert ("http://s", "http://e/q", "v", "literal", "", "", "") \
         in set(jsonld_to_triples(doc2))
+
+
+def test_term_key_compact_iri_without_id_expands():
+    """A term whose KEY is a compact IRI and whose definition has NO
+    explicit @id ("skos:broader": {"@type": "@id"}) maps to the expansion
+    of the key itself (json-ld-api §4.2.2 create-term-definition) — the
+    compact form must not leak out as the predicate."""
+    SKOS = "http://www.w3.org/2004/02/skos/core#"
+    doc = {
+        "@context": {
+            "skos": SKOS,
+            "skos:broader": {"@type": "@id"},
+        },
+        "@id": "http://s",
+        "skos:broader": "http://b",
+    }
+    t = set(jsonld_to_triples(doc))
+    assert ("http://s", SKOS + "broader", "http://b",
+            "iri", "", "", "") in t
+    assert not [r for r in t if r[1] == "skos:broader"]

@@ -201,3 +201,41 @@ def test_cartesian_guard_refuses_two_big_sides(spark, monkeypatch):
     assert mod._guarded_cross(big, small).count() == 20
     with pytest.raises(ValueError, match="cartesian"):
         mod._guarded_cross(big, big2)
+
+
+def test_numeric_filter_tolerates_non_numeric_lexicals(spark):
+    """A min/max-constrained numeric column must FILTER a non-numeric
+    lexical (SPARQL type-error → false, like the reference's FILTER over
+    xsd casts), not throw CAST_INVALID_INPUT for the whole job — under
+    ANSI-on Spark 4 the bound check is a predicate-slice CONDITION, so the
+    cast must be try_cast (CLAUDE.md cast rule)."""
+    desc = {
+        "url": "urn:m",
+        "tableSchema": {
+            "aboutUrl": "urn:m#{id}",
+            "columns": [
+                {"name": "id", "propertyUrl": "urn:m#id", "required": True},
+                {"name": "n", "propertyUrl": "urn:m#n",
+                 "datatype": {"base": "integer", "minimum": 0}},
+            ],
+        },
+    }
+    rows = [
+        ("urn:m#a", "urn:m#id", "a", "literal"),
+        ("urn:m#a", "urn:m#n", "3", "literal"),
+        ("urn:m#b", "urn:m#id", "b", "literal"),
+        ("urn:m#b", "urn:m#n", "n/a", "literal"),   # non-numeric lexical
+        ("urn:m#c", "urn:m#id", "c", "literal"),
+        ("urn:m#c", "urn:m#n", "-2", "literal"),    # violates minimum
+    ]
+    t = (spark.createDataFrame(
+        rows, "subj string, pred string, obj_lex string, obj_kind string")
+        .withColumn("obj_dtype", F.lit(""))
+        .withColumn("obj_lang", F.lit(""))
+        .withColumn("graph", F.lit("")))
+    table = parse_descriptor(desc).tables[0]
+    cols, roots = rdf2csvw.compile_table_query(table)
+    out = rdf2csvw.match_table_query(t, cols, roots)
+    # b (unparseable) and c (violating) both drop the whole row — the
+    # constraint makes the pattern effectively required
+    assert {(r.id, r.n) for r in out.collect()} == {("a", "3")}

@@ -119,3 +119,32 @@ def test_nkod_golden_reserializes(name, spark):
     assert rows
     doc = pretty_rdfxml(rows)
     assert set(parse_rdfxml(doc)) == set(rows)
+
+
+def test_bnode_relabeling_is_injective():
+    """``_:1`` and ``_:b1`` in one document must stay DISTINCT nodes: a
+    bare 'b' prefix on non-NCName labels would give both rdf:nodeID="b1"
+    and merge them on re-parse (the relabeling map is document-scoped and
+    collision-checked)."""
+    rows = [
+        ("_:1", SKOS + "note", "one", "literal", "", "", ""),
+        ("_:b1", SKOS + "note", "two", "literal", "", "", ""),
+    ]
+    back = parse_rdfxml(pretty_rdfxml(rows))
+    assert len({r[0] for r in back}) == 2
+    by_sub = {}
+    for r in back:
+        by_sub.setdefault(r[0], set()).add(r[2])
+    assert sorted(sorted(v) for v in by_sub.values()) == [["one"], ["two"]]
+
+
+def test_bnode_object_and_subject_share_relabeling():
+    """The same non-NCName label appearing as subject AND object must get
+    ONE image so the link survives the round trip."""
+    rows = [
+        ("http://ex/s", SKOS + "related", "_:0x", "bnode", "", "", ""),
+        ("_:0x", SKOS + "note", "inner", "literal", "", "", ""),
+    ]
+    back = parse_rdfxml(pretty_rdfxml(rows))
+    obj = next(r[2] for r in back if r[1] == SKOS + "related")
+    assert (obj, SKOS + "note", "inner", "literal", "", "", "") in set(back)

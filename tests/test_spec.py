@@ -100,3 +100,25 @@ def test_dialect_defaults_and_offsets():
     assert t.source_row_offset == 5            # convertor.ts:374-378
     assert spec.DialectSpec().header_row_count == 1
     assert spec.DialectSpec.parse({"header": False}).header_row_count == 0
+
+
+def test_dialect_codec_translates_node_labels():
+    """The descriptor validation whitelist mirrors the reference's Node
+    Buffer labels (validation/dialect.ts:17-33); ``codec`` translates them
+    to names BOTH Python's codec registry and java.nio accept, so a
+    validator-approved descriptor can't crash the reader/writer."""
+    import codecs
+
+    import pytest
+
+    from csvw_rdf_convertor_spark.spec import DialectSpec
+    expect = {"ascii": "US-ASCII", "utf8": "utf-8", "utf-8": "utf-8",
+              "utf16le": "UTF-16LE", "ucs2": "UTF-16LE",
+              "latin1": "ISO-8859-1", "binary": "ISO-8859-1"}
+    for node, target in expect.items():
+        c = DialectSpec(encoding=node).codec
+        assert c == target
+        codecs.lookup(c)  # resolvable in Python (and named for java.nio)
+    # Node's base64/hex Buffer labels are not text encodings → loud error
+    with pytest.raises(ValueError, match="not a text codec"):
+        DialectSpec(encoding="base64").codec

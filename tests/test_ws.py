@@ -176,3 +176,46 @@ def test_unknown_route_404(server):
 def test_bad_body_400(server):
     status, _m, _d = _post(server, "/csvw2rdf", b"[]", "application/json")
     assert status == 400
+
+
+def test_rdf2csvw_server_local_descriptor(server, tmp_path):
+    """options.descriptor naming a server-local file must drive the
+    conversion (it was silently ignored unless uploaded — inference ran
+    instead, a wrong-but-200 response)."""
+    nt = "\n".join(
+        f'<{s}> <{p}> "{o}"' + (f"^^<{d}>" if d else "") + " ."
+        for s, p, o, _k, d, _l, _g in sorted(EXPECTED))
+    desc_path = tmp_path / "meta.json"
+    desc_path.write_text(json.dumps(DESCRIPTOR), encoding="utf-8")
+    status, mime, data = _post_json(
+        server, "/rdf2csvw",
+        {"input": "input.nt", "descriptor": str(desc_path)},
+        {"input.nt": nt + "\n"})
+    assert status == 200
+    z = zipfile.ZipFile(io.BytesIO(data))
+    # descriptor-driven output: the table is people.csv with the
+    # descriptor's column titles (inference would name it from the graph)
+    assert "people.csv" in z.namelist()
+    rows = z.read("people.csv").decode().strip().splitlines()
+    assert rows[0].split(",") == ["id", "name"]
+
+
+def test_rdf2csvw_missing_descriptor_422(server):
+    status, _mime, _data = _post_json(
+        server, "/rdf2csvw",
+        {"input": "input.nt", "descriptor": "/nonexistent/meta.json"},
+        {"input.nt": '<http://s> <http://p> "v" .\n'})
+    assert status == 422
+
+
+def test_request_workdirs_are_cleaned_up(server):
+    import glob
+    import os
+    import tempfile
+    pat = os.path.join(tempfile.gettempdir(), "csvw_ws_*")
+    before = set(glob.glob(pat))
+    status, _m, _d = _post_json(
+        server, "/validate", {"input": "meta.json"},
+        {"meta.json": json.dumps(DESCRIPTOR), "people.csv": CSV})
+    assert status == 200
+    assert set(glob.glob(pat)) <= before  # per-request tempdir removed
