@@ -26,6 +26,7 @@ from csvw_rdf_convertor_spark.kg import linking, pipeline
 from csvw_rdf_convertor_spark.kg import mentions as mentions_mod
 from csvw_rdf_convertor_spark.kg.synth import alias_dictionary
 from csvw_rdf_convertor_spark.ops import asof, dedup, similarity, text as text_ops
+from csvw_rdf_convertor_spark.ops import sample as sample_ops
 from csvw_rdf_convertor_spark.plans.csvw2rdf import table_to_triples
 from csvw_rdf_convertor_spark.plans import rdf2csvw
 from csvw_rdf_convertor_spark.spec import (DatatypeSpec, parse_descriptor,
@@ -999,6 +1000,55 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
 SQL_DEDUP_NGRAM_JACCARD = _sql_ngram_jaccard()
 
 
+#: deterministic-split gate parameters (ops/sample.py) — weights chosen so
+#: every split is non-empty at sf0.01 (~460 docs)
+_SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+#: downsample the dominant language, keep the tail (corpus rebalancing)
+_STRAT_RATES = {"en": 0.3}
+
+
+def q_sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by salted id hash
+    (ops/sample.hash_split): a pure narrow expression — stable under
+    retries/resume/repartitioning, unlike F.rand(). Aggregated per
+    (split, lang) so the gate pins every row's assignment via sum(doc_id)."""
+    docs = _p(spark, sf_dir, "documents")
+    return (sample_ops.hash_split(docs, "doc_id", _SPLITS,
+                                  salt="split", family="md5")
+            .groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("sum_id")))
+
+
+SQL_SAMPLE_HASH_SPLIT = f"""
+SELECT {sample_ops.sql_split_case('doc_id', 'split', _SPLITS)} AS split,
+       lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum downsampling (ops/sample.stratified_sample):
+    keep 30% of 'en' docs, 100% of the tail languages — the standard
+    training-mix rebalancing filter, as one narrow CASE-threshold compare."""
+    docs = _p(spark, sf_dir, "documents")
+    return (sample_ops.stratified_sample(docs, "doc_id", "lang", _STRAT_RATES,
+                                         default_rate=1.0,
+                                         salt="strat", family="md5")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("doc_id").alias("sum_id")))
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM documents
+WHERE {sample_ops.sql_stratified_where('doc_id', 'lang', 'strat',
+                                       _STRAT_RATES, 1.0)}
+GROUP BY lang
+"""
+
+
 def q_dedup_simhash_hamming(spark, sf_dir):
     """SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole banding (k+1
     hex slices) + exact verify (ops/dedup.simhash_hamming_pairs)."""
@@ -1759,6 +1809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "sample_hash_split": q_sample_hash_split,
+        "sample_stratified": q_sample_stratified,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -1816,6 +1868,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_simhash_hamming": SQL_DEDUP_SIMHASH_HAMMING,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "sample_hash_split": SQL_SAMPLE_HASH_SPLIT,
+        "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "sim_topk_bruteforce": SQL_SIM_TOPK,
         "sim_lsh_topk": SQL_SIM_LSH_TOPK,
         "sim_ivf_topk": SQL_SIM_IVF_TOPK,
