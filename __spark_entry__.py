@@ -832,6 +832,53 @@ FROM documents
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style duplicate-fraction repetition signals (pure array
+    exprs; tokens staged as a real column so the n-gram HOF lambdas never
+    re-evaluate the split — CLAUDE.md CollapseProject rule)."""
+    docs = _p(spark, sf_dir, "documents")
+    staged = docs.select("doc_id",
+                         text_ops.tokens_ws(F.col("text")).alias("toks"))
+    r = text_ops.repetition_features(F.col("toks"))
+    return staged.select(
+        "doc_id",
+        F.round(r["dup_token_frac"], 6).alias("dup_token_frac"),
+        F.round(r["dup_token_char_frac"], 6).alias("dup_token_char_frac"),
+        F.round(r["dup_2gram_frac"], 6).alias("dup_2gram_frac"),
+        F.round(r["dup_3gram_frac"], 6).alias("dup_3gram_frac"))
+
+
+SQL_TEXT_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+         list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3
+  FROM t
+)
+SELECT doc_id,
+  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        ELSE (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks) END, 6)
+    AS dup_token_frac,
+  ROUND(CASE WHEN length(array_to_string(toks, '')) = 0 THEN 0.0
+        ELSE (length(array_to_string(toks, ''))
+              - length(array_to_string(list_distinct(toks), '')))::DOUBLE
+             / length(array_to_string(toks, '')) END, 6)
+    AS dup_token_char_frac,
+  ROUND(CASE WHEN len(g2) = 0 THEN 0.0
+        ELSE (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2) END, 6)
+    AS dup_2gram_frac,
+  ROUND(CASE WHEN len(g3) = 0 THEN 0.0
+        ELSE (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END, 6)
+    AS dup_3gram_frac
+FROM g
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """The raw corpus has no exact duplicates at small SF, which made this
     gate a trivially-empty assertion (VERDICT r3 #8) — so the query salts a
@@ -1803,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
         "dedup_exact": q_dedup_exact,
         "dedup_normalized": q_dedup_normalized,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1862,6 +1910,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "text_lang_id": SQL_LANG_ID,
         "text_fingerprint": SQL_FINGERPRINT,
+        "text_repetition": SQL_TEXT_REPETITION,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_normalized": SQL_DEDUP_NORMALIZED,
         "dedup_minhash_pairs": SQL_DEDUP_MINHASH,

@@ -109,6 +109,76 @@ def lang_id(text: Column) -> Column:
     return F.when(red["hits"] <= 0, F.lit("und")).otherwise(red["lang"])
 
 
+# --- repetition signals (Gopher-style duplicate-fraction filters) ---------------
+#
+# Rau et al.'s Gopher quality rules drop documents whose content is dominated
+# by repeated lines / n-grams. The duplicate-FRACTION form used here —
+# (occurrences − distinct) / occurrences — needs no per-key counting at all:
+# it is a pure array expression (size + array_distinct + array_join), so the
+# whole signal stays inside whole-stage codegen with zero shuffle and has an
+# exact 1:1 DuckDB formulation (len/list_distinct/array_to_string) for the
+# oracle gate. Reference repo has no equivalent (beyond-reference op).
+
+def tokens_ws(text: Column) -> Column:
+    """Whitespace tokens as an array (empty text → [''], like DuckDB's
+    regexp_split_to_array — callers' duplicate fractions are 0 either way)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Space-joined word n-grams; fewer than n tokens → empty array.
+
+    ``tokens`` should be a staged column, not an inline ``split(...)`` —
+    expressions referenced inside higher-order-function lambdas are
+    re-evaluated per element when CollapseProject inlines them (CLAUDE.md).
+    """
+    if n < 2:
+        return tokens
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.concat_ws(" ", *[F.get(tokens, i + j) for j in range(n)]))
+    return F.when(F.size(tokens) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_fraction(arr: Column) -> Column:
+    """(occurrences − distinct values) / occurrences; 0.0 on empty."""
+    n = F.size(arr)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(arr))).cast("double") / n)
+
+
+def duplicate_char_fraction(arr: Column) -> Column:
+    """Character-weighted variant: fraction of characters belonging to
+    excess (duplicate) occurrences. Join order is irrelevant to a length
+    sum, so array_distinct's ordering never matters cross-engine."""
+    total = F.length(F.array_join(arr, ""))
+    dist = F.length(F.array_join(F.array_distinct(arr), ""))
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        (total - dist).cast("double") / total)
+
+
+def split_lines(text: Column) -> Column:
+    """Trimmed non-empty lines."""
+    return F.filter(F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+                    lambda x: x != "")
+
+
+def repetition_features(tokens: Column, lines: Column | None = None,
+                        ) -> dict[str, Column]:
+    """Duplicate-fraction repetition signals over staged token/line arrays."""
+    out = {
+        "dup_token_frac": duplicate_fraction(tokens),
+        "dup_token_char_frac": duplicate_char_fraction(tokens),
+        "dup_2gram_frac": duplicate_fraction(word_ngrams(tokens, 2)),
+        "dup_3gram_frac": duplicate_fraction(word_ngrams(tokens, 3)),
+    }
+    if lines is not None:
+        out["dup_line_frac"] = duplicate_fraction(lines)
+        out["dup_line_char_frac"] = duplicate_char_fraction(lines)
+    return out
+
+
 # --- document fingerprinting ----------------------------------------------------
 
 FNV_MOD = 2147483647  # 2^31 - 1

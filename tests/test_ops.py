@@ -52,6 +52,46 @@ def test_document_profile_runs_on_testdata(docs):
     assert row.n_tokens > 0 and 0 <= row.quality <= 1
 
 
+def test_repetition_features(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b c"),       # 5 toks/3 distinct; 2grams {ab,ba,ab,bc}
+         (1, "hello"),           # single token: no n-grams
+         (2, "x x x x")],        # total repetition
+        "doc_id long, t string")
+    staged = df.select("doc_id", text.tokens_ws(F.col("t")).alias("toks"))
+    r = text.repetition_features(F.col("toks"))
+    rows = {row.doc_id: row for row in staged.select(
+        "doc_id",
+        r["dup_token_frac"].alias("tf"),
+        r["dup_token_char_frac"].alias("cf"),
+        r["dup_2gram_frac"].alias("g2"),
+        r["dup_3gram_frac"].alias("g3")).collect()}
+    assert rows[0].tf == pytest.approx(2 / 5)
+    assert rows[0].cf == pytest.approx(2 / 5)   # chars ababc=5, distinct abc=3
+    assert rows[0].g2 == pytest.approx(1 / 4)   # 'a b' twice
+    assert rows[0].g3 == pytest.approx(0.0)     # aba/bab/abc all distinct
+    assert rows[1].tf == rows[1].g2 == rows[1].g3 == 0.0
+    assert rows[2].tf == pytest.approx(3 / 4) and rows[2].g2 == pytest.approx(2 / 3)
+
+
+def test_repetition_line_features(spark):
+    df = spark.createDataFrame([(0, "x\n x \ny\n\n"), (1, "")],
+                               "doc_id long, t string")
+    staged = df.select(
+        "doc_id",
+        text.tokens_ws(F.col("t")).alias("toks"),
+        text.split_lines(F.col("t")).alias("lines"))
+    r = text.repetition_features(F.col("toks"), F.col("lines"))
+    rows = {row.doc_id: row for row in staged.select(
+        "doc_id",
+        r["dup_line_frac"].alias("lf"),
+        r["dup_line_char_frac"].alias("lcf"),
+        r["dup_token_frac"].alias("tf")).collect()}
+    assert rows[0].lf == pytest.approx(1 / 3)   # lines x,x,y
+    assert rows[0].lcf == pytest.approx(1 / 3)
+    assert rows[1].lf == 0.0 and rows[1].tf == 0.0  # empty-text guards
+
+
 def test_exact_dedup(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, "hello world"), (3, "unique")],
