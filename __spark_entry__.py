@@ -879,6 +879,58 @@ FROM g
 """
 
 
+def q_text_scrub_pii(spark, sf_dir):
+    """PII scrub gate. The synthetic corpus contains no PII, so (like the
+    dedup_exact salt) every 10th doc gets a deterministic injected email +
+    URL + IPv4 in BOTH engines; the gate verifies sequential match counts
+    and the md5 of the fully scrubbed text."""
+    docs = _p(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.col("text"),
+                 F.lit(" contact bob"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com via https://ex.org/d?id="),
+                 F.col("doc_id").cast("string"),
+                 F.lit(" or 10.0.0."), (F.col("doc_id") % 256).cast("string")),
+    ).otherwise(F.col("text"))
+    staged = docs.select("doc_id", injected.alias("t"))
+    c = text_ops.pii_counts(F.col("t"))
+    return staged.select(
+        "doc_id",
+        c["n_url"].alias("n_url"),
+        c["n_email"].alias("n_email"),
+        c["n_ipv4"].alias("n_ipv4"),
+        F.md5(text_ops.scrub_pii(F.col("t"))).alias("scrubbed_md5"))
+
+
+_PII_RX = {kind: rx for kind, rx, _ in text_ops.PII_PATTERNS}
+SQL_SCRUB_PII = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN
+           text || ' contact bob' || doc_id || '@example.com via '
+                || 'https://ex.org/d?id=' || doc_id
+                || ' or 10.0.0.' || (doc_id % 256)
+         ELSE text END AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_PII_RX["url"]}')) AS n_url,
+         regexp_replace(t, '{_PII_RX["url"]}', '<URL>', 'g') AS t1
+  FROM d
+), s2 AS (
+  SELECT doc_id, n_url,
+         len(regexp_extract_all(t1, '{_PII_RX["email"]}')) AS n_email,
+         regexp_replace(t1, '{_PII_RX["email"]}', '<EMAIL>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_url, n_email,
+       len(regexp_extract_all(t2, '{_PII_RX["ipv4"]}')) AS n_ipv4,
+       md5(regexp_replace(t2, '{_PII_RX["ipv4"]}', '<IP>', 'g')) AS scrubbed_md5
+FROM s2
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """The raw corpus has no exact duplicates at small SF, which made this
     gate a trivially-empty assertion (VERDICT r3 #8) — so the query salts a
@@ -1851,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "text_scrub_pii": q_text_scrub_pii,
         "dedup_exact": q_dedup_exact,
         "dedup_normalized": q_dedup_normalized,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1911,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": SQL_LANG_ID,
         "text_fingerprint": SQL_FINGERPRINT,
         "text_repetition": SQL_TEXT_REPETITION,
+        "text_scrub_pii": SQL_SCRUB_PII,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_normalized": SQL_DEDUP_NORMALIZED,
         "dedup_minhash_pairs": SQL_DEDUP_MINHASH,

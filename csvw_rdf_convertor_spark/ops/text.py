@@ -179,6 +179,43 @@ def repetition_features(tokens: Column, lines: Column | None = None,
     return out
 
 
+# --- PII / URL scrubbing ---------------------------------------------------------
+#
+# C4/Dolma-style pre-training scrub: emails, URLs, bare IPv4s replaced by
+# typed placeholder tokens. Patterns are deliberately RE2-compatible (no
+# lookaround, no backreferences) so the SAME pattern string runs in Java
+# regex (Spark) and RE2 (DuckDB oracle / many scrubbing services).
+# Replacement order matters and is part of the contract: URLs first (an
+# email-shaped substring inside a URL is part of the URL), then emails,
+# then bare IPv4s. Pure regexp_replace chain — narrow, zero shuffle.
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace every PII_PATTERNS match with its placeholder, in order."""
+    out = text
+    for _, rx, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, rx, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per kind, counted SEQUENTIALLY on the progressively
+    scrubbed text so they agree exactly with what scrub_pii replaces
+    (an email inside a URL counts as the URL, not both)."""
+    out: dict[str, Column] = {}
+    cur = text
+    for kind, rx, repl in PII_PATTERNS:
+        out[f"n_{kind}"] = F.size(F.regexp_extract_all(cur, F.lit(rx), 0))
+        cur = F.regexp_replace(cur, rx, repl)
+    return out
+
+
 # --- document fingerprinting ----------------------------------------------------
 
 FNV_MOD = 2147483647  # 2^31 - 1

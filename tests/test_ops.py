@@ -74,6 +74,25 @@ def test_repetition_features(spark):
     assert rows[2].tf == pytest.approx(3 / 4) and rows[2].g2 == pytest.approx(2 / 3)
 
 
+def test_scrub_pii_order_and_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "mail a@b.co or https://x.io/u?e=c@d.org now"),
+         (1, "server 10.0.0.1 and 192.168.1.255 up"),
+         (2, "no pii here, just text and punctuation!")],
+        "doc_id long, t string")
+    c = text.pii_counts(F.col("t"))
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id", c["n_url"].alias("u"), c["n_email"].alias("e"),
+        c["n_ipv4"].alias("i"),
+        text.scrub_pii(F.col("t")).alias("s")).collect()}
+    # the email inside the URL belongs to the URL (sequential contract)
+    assert (rows[0].u, rows[0].e) == (1, 1)
+    assert rows[0].s == "mail <EMAIL> or <URL> now"
+    assert rows[1].i == 2 and rows[1].s == "server <IP> and <IP> up"
+    assert (rows[2].u, rows[2].e, rows[2].i) == (0, 0, 0)
+    assert rows[2].s == "no pii here, just text and punctuation!"
+
+
 def test_repetition_line_features(spark):
     df = spark.createDataFrame([(0, "x\n x \ny\n\n"), (1, "")],
                                "doc_id long, t string")
