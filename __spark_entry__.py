@@ -931,6 +931,24 @@ FROM s2
 """
 
 
+def q_text_term_counts(spark, sf_dir):
+    """Corpus vocabulary stats: top-50 terms under the deterministic
+    (n DESC, term ASC) total order."""
+    docs = _p(spark, sf_dir, "documents")
+    return text_ops.top_terms(docs, 50)
+
+
+SQL_TERM_COUNTS = r"""
+SELECT term, COUNT(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents)
+WHERE term <> ''
+GROUP BY term
+ORDER BY n DESC, term ASC
+LIMIT 50
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """The raw corpus has no exact duplicates at small SF, which made this
     gate a trivially-empty assertion (VERDICT r3 #8) — so the query salts a
@@ -1904,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_scrub_pii": q_text_scrub_pii,
+        "text_term_counts": q_text_term_counts,
         "dedup_exact": q_dedup_exact,
         "dedup_normalized": q_dedup_normalized,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1965,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": SQL_FINGERPRINT,
         "text_repetition": SQL_TEXT_REPETITION,
         "text_scrub_pii": SQL_SCRUB_PII,
+        "text_term_counts": SQL_TERM_COUNTS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_normalized": SQL_DEDUP_NORMALIZED,
         "dedup_minhash_pairs": SQL_DEDUP_MINHASH,

@@ -216,6 +216,29 @@ def pii_counts(text: Column) -> dict[str, Column]:
     return out
 
 
+# --- corpus vocabulary stats -----------------------------------------------------
+
+def term_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus term frequencies: explode whitespace tokens → groupBy(term).
+
+    The classic word-count shape. At 100 TB this is ONE shuffle whose
+    map side is collapsed by partial aggregation (hash-aggregate combine),
+    so hot terms ("the") ship one partial row per input partition, not one
+    row per occurrence — no salting needed for an algebraic count. The
+    explode itself is narrow.
+    """
+    term = F.explode(tokens_ws(F.col(text_col))).alias("term")
+    return (docs.select(term).where(F.col("term") != "")
+            .groupBy("term").agg(F.count("*").alias("n")))
+
+
+def top_terms(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """Top-k terms with a total order (n DESC, term ASC) so boundary ties
+    resolve identically in any engine — the k+1'th term is deterministic."""
+    return (term_counts(docs, text_col)
+            .orderBy(F.desc("n"), F.asc("term")).limit(k))
+
+
 # --- document fingerprinting ----------------------------------------------------
 
 FNV_MOD = 2147483647  # 2^31 - 1

@@ -93,6 +93,15 @@ def test_scrub_pii_order_and_counts(spark):
     assert rows[2].s == "no pii here, just text and punctuation!"
 
 
+def test_term_counts_and_top_terms(spark):
+    df = spark.createDataFrame(
+        [(0, "b a a"), (1, "  c b "), (2, "")], "doc_id long, t string")
+    counts = {r.term: r.n for r in text.term_counts(df, "t").collect()}
+    assert counts == {"a": 2, "b": 2, "c": 1}  # empty-doc token dropped
+    top = [(r.term, r.n) for r in text.top_terms(df, 2, "t").collect()]
+    assert top == [("a", 2), ("b", 2)]  # tie broken by term ASC
+
+
 def test_repetition_line_features(spark):
     df = spark.createDataFrame([(0, "x\n x \ny\n\n"), (1, "")],
                                "doc_id long, t string")
