@@ -26,6 +26,8 @@ from csvw_rdf_convertor_spark.kg import linking, pipeline
 from csvw_rdf_convertor_spark.kg import mentions as mentions_mod
 from csvw_rdf_convertor_spark.kg.synth import alias_dictionary
 from csvw_rdf_convertor_spark.ops import asof, dedup, similarity, text as text_ops
+from csvw_rdf_convertor_spark.ops import chunk as chunk_ops
+from csvw_rdf_convertor_spark.ops import decontam
 from csvw_rdf_convertor_spark.ops import sample as sample_ops
 from csvw_rdf_convertor_spark.plans.csvw2rdf import table_to_triples
 from csvw_rdf_convertor_spark.plans import rdf2csvw
@@ -1117,6 +1119,98 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
 SQL_DEDUP_NGRAM_JACCARD = _sql_ngram_jaccard()
 
 
+def q_dedup_minhash_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: the minhash pair graph (same parameters as
+    dedup_minhash_pairs) collapsed by connected components — the actual
+    dedup decision (keep one representative per cluster), not just the
+    pair list. cluster_rep = lexicographic min id of the component."""
+    docs = _p(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.6,
+                                          hash_family="md5")
+    return dedup.near_dup_clusters(pairs)
+
+
+SQL_DEDUP_MINHASH_CLUSTERS = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_sql_minhash_pairs()}),
+e0 AS (SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst
+       FROM pairs),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node)
+SELECT node, MIN(lab) AS cluster_rep FROM reach GROUP BY node
+"""
+
+
+def q_text_chunk_windows(spark, sf_dir):
+    """Sliding token windows (size 16, overlap 4) — context-length packing
+    / RAG chunking. Pure narrow fan-out, zero shuffle (ops/chunk.py); the
+    window text travels as md5 so the gate payload stays compact."""
+    docs = _p(spark, sf_dir, "documents")
+    ch = chunk_ops.chunk_documents(docs, size=16, overlap=4)
+    return ch.select("doc_id", "chunk_idx", "n_tokens",
+                     F.md5("chunk_text").alias("chunk_md5"))
+
+
+SQL_TEXT_CHUNK_WINDOWS = (
+    "SELECT doc_id, chunk_idx, n_tokens, md5(chunk_text) AS chunk_md5 "
+    f"FROM ({chunk_ops.sql_chunk_documents('documents', size=16, overlap=4)})")
+
+
+def q_text_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per document by the integer-exact
+    tf-idf-style score (ops/text.tf_idf_top_terms; see its docstring for
+    why the score avoids float ln)."""
+    docs = _p(spark, sf_dir, "documents")
+    return text_ops.tf_idf_top_terms(docs, 3)
+
+
+SQL_TEXT_TFIDF_TOPK = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT t.doc_id, t.term, t.tf, d.df, t.tf * 1000000 // d.df AS score_ppm
+       FROM tf t JOIN df d USING (term)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY score_ppm DESC, term ASC) AS rn FROM sc)
+SELECT doc_id, term, tf, df, score_ppm FROM r WHERE rn <= 3
+"""
+
+
+#: decontamination gate split: train = doc_id%10 in 0..7, eval = the 8..9
+#: holdout PLUS salted verbatim copies of every 25th train doc (guaranteed
+#: fully-contaminated rows, same salting idiom as the dedup gates)
+_DECON_TRAIN_SQL = "(SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8)"
+_DECON_EVAL_SQL = ("(SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8"
+                   " UNION ALL SELECT doc_id + 1000000 AS doc_id, text"
+                   " FROM documents WHERE doc_id % 10 < 8 AND doc_id % 25 = 0)")
+
+
+def q_decontam_ngram_overlap(spark, sf_dir):
+    """Train/eval 5-gram decontamination (ops/decontam.py): flag eval docs
+    sharing any lowercase word 5-gram with the train split, with
+    distinct-gram hit fractions."""
+    docs = _p(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 10 < 8)
+    eval_docs = (docs.where(F.col("doc_id") % 10 >= 8)
+                 .unionByName(
+                     train.where(F.col("doc_id") % 25 == 0)
+                     .withColumn("doc_id",
+                                 F.col("doc_id") + F.lit(1_000_000))))
+    return decontam.ngram_contamination(train, eval_docs, n=5,
+                                        hash_family="md5")
+
+
+SQL_DECONTAM_NGRAM_OVERLAP = decontam.sql_ngram_contamination(
+    _DECON_TRAIN_SQL, _DECON_EVAL_SQL, n=5)
+
+
 #: deterministic-split gate parameters (ops/sample.py) — weights chosen so
 #: every split is non-empty at sf0.01 (~460 docs)
 _SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
@@ -1929,6 +2023,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        "text_chunk_windows": q_text_chunk_windows,
+        "text_tfidf_topk": q_text_tfidf_topk,
+        "decontam_ngram_overlap": q_decontam_ngram_overlap,
         "sample_hash_split": q_sample_hash_split,
         "sample_stratified": q_sample_stratified,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
@@ -1991,6 +2089,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_simhash_hamming": SQL_DEDUP_SIMHASH_HAMMING,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_minhash_clusters": SQL_DEDUP_MINHASH_CLUSTERS,
+        "text_chunk_windows": SQL_TEXT_CHUNK_WINDOWS,
+        "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,
+        "decontam_ngram_overlap": SQL_DECONTAM_NGRAM_OVERLAP,
         "sample_hash_split": SQL_SAMPLE_HASH_SPLIT,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "sim_topk_bruteforce": SQL_SIM_TOPK,

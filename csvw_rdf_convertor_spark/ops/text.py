@@ -9,7 +9,7 @@ oracle harness.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # --- token counting ----------------------------------------------------------
@@ -237,6 +237,35 @@ def top_terms(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     resolve identically in any engine — the k+1'th term is deterministic."""
     return (term_counts(docs, text_col)
             .orderBy(F.desc("n"), F.asc("term")).limit(k))
+
+
+def tf_idf_top_terms(docs: DataFrame, k: int = 3, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per document by an integer-exact
+    tf-idf-style score: ``score_ppm = tf * 1_000_000 div df``.
+
+    The score deliberately uses integer division instead of ``tf·ln(N/df)``
+    — the RANKING it induces per document is the same for any monotone idf,
+    and integer arithmetic is bit-identical across engines (a float ``ln``
+    differs in ulps between JVM and DuckDB, which would poison the value
+    hash at rank boundaries). Output: ``(id_col, term, tf, df, score_ppm)``
+    under the total order (score_ppm DESC, term ASC) per document.
+
+    Scale: two algebraic-count shuffles (per-doc tf, vocabulary df) — the
+    df side is vocabulary-sized, so AQE broadcasts the join back; the
+    per-document top-k window partitions on the (uniform) document id.
+    Beyond-reference op.
+    """
+    term = F.explode(tokens_ws(F.col(text_col))).alias("term")
+    tf = (docs.select(F.col(id_col), term).where(F.col("term") != "")
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf.join(df_tbl, "term")
+              .withColumn("score_ppm", F.expr("tf * 1000000 div df")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_ppm"), F.asc("term"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select(id_col, "term", "tf", "df", "score_ppm"))
 
 
 # --- document fingerprinting ----------------------------------------------------

@@ -1,0 +1,106 @@
+"""Unit tests for ops/chunk.py, ops/decontam.py and text.tf_idf_top_terms.
+
+Edge cases the sf0.01 oracle gates can't isolate: empty documents, exact
+window boundaries, hash-family equivalence, transitive cluster merge.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvw_rdf_convertor_spark.ops import dedup
+from csvw_rdf_convertor_spark.ops.chunk import chunk_documents
+from csvw_rdf_convertor_spark.ops.decontam import ngram_contamination
+from csvw_rdf_convertor_spark.ops.text import tf_idf_top_terms
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_windows_boundaries(spark):
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    docs = _docs(spark, [
+        (1, words),          # size 4 stride 3 -> starts 0,3,6,9
+        (2, "a b"),          # shorter than size -> one chunk
+        (3, "   "),          # zero tokens -> no chunks
+        (4, "x y z q"),      # exactly size -> starts 0,3 (tail len 1)
+    ])
+    out = chunk_documents(docs, size=4, overlap=1)
+    rows = {(r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+            for r in out.collect()}
+    assert rows[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert rows[(1, 1)] == (4, "w3 w4 w5 w6")   # overlap of 1 token
+    assert rows[(1, 3)] == (1, "w9")            # ragged tail
+    assert rows[(2, 0)] == (2, "a b")
+    assert (3, 0) not in rows
+    assert rows[(4, 1)] == (1, "q")
+    assert len(rows) == 4 + 1 + 0 + 2
+
+
+def test_chunk_rejects_bad_overlap():
+    with pytest.raises(ValueError):
+        chunk_documents(None, size=4, overlap=4)
+
+
+def test_chunk_plan_is_narrow(spark):
+    """Chunking must be scan→project→generate: zero shuffle Exchanges."""
+    docs = _docs(spark, [(1, "a b c")])
+    plan = (chunk_documents(docs, size=2, overlap=1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_decontam_counts(spark):
+    train = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog")])
+    ev = _docs(spark, [
+        # shares exactly one trigram window set: "quick brown fox"
+        (10, "quick brown fox sleeps all day here"),
+        (11, "completely different words only nothing shared"),
+        (12, "The QUICK Brown fox jumps far away"),  # case-folded hits
+        (13, "ab"),                                  # < n tokens -> no grams
+    ])
+    out = {r.doc_id: (r.n_grams, r.n_hits, r.contam_ppm)
+           for r in ngram_contamination(train, ev, n=3).collect()}
+    assert out[10] == (5, 1, 200000)
+    assert 11 not in out            # clean docs are not reported
+    # "the quick brown", "quick brown fox", "brown fox jumps"
+    assert out[12][1] == 3
+    assert 13 not in out
+
+
+def test_decontam_hash_families_agree(spark):
+    train = _docs(spark, [(i, f"alpha beta gamma delta epsilon v{i}")
+                          for i in range(6)])
+    ev = _docs(spark, [(100, "alpha beta gamma delta epsilon v3"),
+                       (101, "zeta eta theta iota kappa here")])
+    a = sorted(map(tuple, ngram_contamination(
+        train, ev, n=4, hash_family="xxhash64").collect()))
+    b = sorted(map(tuple, ngram_contamination(
+        train, ev, n=4, hash_family="md5").collect()))
+    assert a == b and len(a) == 1
+
+
+def test_tfidf_ranks_rare_terms_first(spark):
+    docs = _docs(spark, [
+        (1, "common rare1 common"),
+        (2, "common rare2"),
+        (3, "common"),
+    ])
+    out = tf_idf_top_terms(docs, 1)
+    top = {r.doc_id: (r.term, r.tf, r.df, r.score_ppm)
+           for r in out.collect()}
+    # rare terms (df=1) beat 'common' (df=3) even at higher tf
+    assert top[1] == ("rare1", 1, 1, 1_000_000)
+    assert top[2] == ("rare2", 1, 1, 1_000_000)
+    assert top[3] == ("common", 1, 3, 333_333)
+
+
+def test_near_dup_clusters_transitive(spark):
+    """a~b and b~c (but never a~c) must land in ONE cluster."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (8, 9)],
+                                  "id_a long, id_b long")
+    out = {r.node: r.cluster_rep
+           for r in dedup.near_dup_clusters(pairs).collect()}
+    assert out == {"1": "1", "2": "1", "3": "1", "8": "8", "9": "8"}
