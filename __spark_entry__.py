@@ -1183,6 +1183,19 @@ SELECT doc_id, term, tf, df, score_ppm FROM r WHERE rn <= 3
 """
 
 
+def q_text_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-split sequence packing (per-shard layout,
+    context 128, one EOS separator per doc — ops/chunk.pack_sequences);
+    documents straddling a pack boundary appear once per pack touched."""
+    docs = _p(spark, sf_dir, "documents")
+    return chunk_ops.pack_sequences(docs, context_len=128, shard_size=64,
+                                    sep_tokens=1)
+
+
+SQL_TEXT_PACK_SEQUENCES = chunk_ops.sql_pack_sequences(
+    "documents", context_len=128, shard_size=64, sep_tokens=1)
+
+
 #: decontamination gate split: train = doc_id%10 in 0..7, eval = the 8..9
 #: holdout PLUS salted verbatim copies of every 25th train doc (guaranteed
 #: fully-contaminated rows, same salting idiom as the dedup gates)
@@ -2025,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "text_chunk_windows": q_text_chunk_windows,
+        "text_pack_sequences": q_text_pack_sequences,
         "text_tfidf_topk": q_text_tfidf_topk,
         "decontam_ngram_overlap": q_decontam_ngram_overlap,
         "sample_hash_split": q_sample_hash_split,
@@ -2091,6 +2105,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_clusters": SQL_DEDUP_MINHASH_CLUSTERS,
         "text_chunk_windows": SQL_TEXT_CHUNK_WINDOWS,
+        "text_pack_sequences": SQL_TEXT_PACK_SEQUENCES,
         "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,
         "decontam_ngram_overlap": SQL_DECONTAM_NGRAM_OVERLAP,
         "sample_hash_split": SQL_SAMPLE_HASH_SPLIT,

@@ -20,7 +20,7 @@ expressions and re-tokenize once per chunk.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.column import Column
 
 
@@ -61,6 +61,93 @@ def chunk_documents(docs: DataFrame, *, size: int = 16, overlap: int = 4,
                  .cast("long").alias("n_tokens"),
                 F.array_join(F.slice(F.col("_toks"), F.col("_start") + 1,
                                      F.lit(size)), " ").alias("chunk_text")))
+
+
+def pack_sequences(docs: DataFrame, *, context_len: int,
+                   shard_size: int = 1024, sep_tokens: int = 1,
+                   n_tokens_col: str | None = None,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   ) -> DataFrame:
+    """GPT-style concat-and-split sequence packing: documents are laid out
+    back-to-back (each followed by ``sep_tokens`` separator tokens, e.g.
+    one EOS) in deterministic ``id_col`` order and the token stream is cut
+    at exact ``context_len`` boundaries — so documents may straddle packs.
+
+    Packing is per-SHARD (``shard = id div shard_size``), matching how real
+    pipelines pack per worker/file: a GLOBAL token cumsum would be a
+    single-partition window (the driver-sized bottleneck Spark warns
+    about), while the shard window shuffles once on a uniform bounded key
+    and every shard packs independently — the layout is a pure function of
+    (ids, token counts), stable under retries and repartitioning.
+
+    Returns one row per (document × pack it touches):
+    ``(id_col, shard, pack_id, pack_pos, n_tokens_in_pack)`` where
+    ``pack_id`` is shard-local, ``pack_pos`` is the document segment's
+    start offset inside the pack, and ``n_tokens_in_pack`` counts only
+    document tokens (separators occupy stream positions but belong to no
+    document). Zero-token documents are dropped.
+    """
+    if context_len <= 0 or shard_size <= 0 or sep_tokens < 0:
+        raise ValueError(f"bad {context_len=} / {shard_size=} / {sep_tokens=}")
+    n_tok = (F.col(n_tokens_col) if n_tokens_col
+             else F.size(tokens_nonempty(F.col(text_col))))
+    base = (docs
+            .withColumn("_n", n_tok.cast("long"))
+            .where(F.col("_n") > 0)
+            # integer div — float '/' loses exactness above 2^53
+            .withColumn("shard", F.expr(f"{id_col} div {shard_size}"))
+            .select(id_col, "shard", "_n"))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = F.lit(context_len)
+    laid = (base
+            .withColumn("_end_eff", F.sum(F.col("_n") + sep_tokens).over(w))
+            .withColumn("_start", F.col("_end_eff") - F.col("_n") - sep_tokens)
+            .withColumn("_doc_end", F.col("_start") + F.col("_n"))
+            .withColumn("_packs", F.sequence(
+                F.expr(f"_start div {context_len}"),
+                F.expr(f"(_doc_end - 1) div {context_len}"))))
+    seg_start = F.greatest(F.col("_start"), F.col("pack_id") * c)
+    seg_end = F.least(F.col("_doc_end"), (F.col("pack_id") + 1) * c)
+    return (laid
+            .select(id_col, "shard", "_start", "_doc_end",
+                    F.explode("_packs").alias("pack_id"))
+            .select(F.col(id_col), F.col("shard"), F.col("pack_id"),
+                    (seg_start - F.col("pack_id") * c).alias("pack_pos"),
+                    (seg_end - seg_start).alias("n_tokens_in_pack")))
+
+
+def sql_pack_sequences(table: str = "documents", *, context_len: int,
+                       shard_size: int = 1024, sep_tokens: int = 1,
+                       n_tokens_expr: str | None = None,
+                       text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB oracle twin of :func:`pack_sequences`."""
+    n = (n_tokens_expr or
+         rf"len(list_filter(string_split_regex(trim({text_col}), '\s+'),"
+         rf" t -> t <> ''))")
+    return rf"""
+WITH b AS (
+  SELECT {id_col}, ({id_col} // {shard_size})::BIGINT AS shard,
+         ({n})::BIGINT AS n
+  FROM {table} WHERE ({n}) > 0),
+laid AS (
+  -- DuckDB SUM(BIGINT) is HUGEINT: cast back so range()/arith stay BIGINT
+  SELECT {id_col}, shard, n,
+         CAST(SUM(n + {sep_tokens}) OVER (PARTITION BY shard ORDER BY {id_col}
+           ROWS UNBOUNDED PRECEDING) - n - {sep_tokens} AS BIGINT) AS s
+  FROM b),
+seg AS (
+  SELECT {id_col}, shard, s, s + n AS e,
+         unnest(range(s // {context_len}, (s + n - 1) // {context_len} + 1))
+           AS pack_id
+  FROM laid)
+SELECT {id_col}, shard, pack_id,
+       greatest(s, pack_id * {context_len}) - pack_id * {context_len}
+         AS pack_pos,
+       least(e, (pack_id + 1) * {context_len})
+         - greatest(s, pack_id * {context_len}) AS n_tokens_in_pack
+FROM seg
+"""
 
 
 def sql_chunk_documents(table: str = "documents", *, size: int = 16,

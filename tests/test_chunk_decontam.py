@@ -52,6 +52,40 @@ def test_chunk_plan_is_narrow(spark):
     assert "Exchange" not in plan
 
 
+def test_pack_sequences_layout(spark):
+    """3 docs of 5 tokens + 1 EOS each into context 8 (one shard):
+    stream positions doc1=[0,5) doc2=[6,11) doc3=[12,17) — doc2 straddles
+    the pack-0/pack-1 boundary, doc3 straddles pack-1/pack-2."""
+    from csvw_rdf_convertor_spark.ops.chunk import pack_sequences
+    docs = _docs(spark, [(i, "t1 t2 t3 t4 t5") for i in (1, 2, 3)])
+    out = sorted(map(tuple, pack_sequences(
+        docs, context_len=8, shard_size=100, sep_tokens=1).collect()))
+    assert out == [
+        (1, 0, 0, 0, 5),   # doc1 fully in pack 0 at pos 0
+        (2, 0, 0, 6, 2),   # doc2 tokens 0-1 end pack 0
+        (2, 0, 1, 0, 3),   # doc2 tokens 2-4 start pack 1
+        (3, 0, 1, 4, 4),   # doc3 tokens 0-3 in pack 1
+        (3, 0, 2, 0, 1),   # doc3 last token starts pack 2
+    ]
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    """Same docs, ids offset into another shard → identical local layout;
+    token totals are preserved exactly."""
+    from csvw_rdf_convertor_spark.ops.chunk import pack_sequences
+    docs = _docs(spark, [(i, "a b c") for i in range(4)]
+                 + [(100 + i, "a b c") for i in range(4)])
+    out = pack_sequences(docs, context_len=4, shard_size=10, sep_tokens=0)
+    rows = out.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(
+            (r.doc_id % 100, r.pack_id, r.pack_pos, r.n_tokens_in_pack))
+    assert sorted(by_shard[0]) == sorted(by_shard[10])
+    total = sum(r.n_tokens_in_pack for r in rows)
+    assert total == 8 * 3  # every token lands in exactly one pack
+
+
 def test_decontam_counts(spark):
     train = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog")])
     ev = _docs(spark, [
