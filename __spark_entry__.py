@@ -28,6 +28,7 @@ from csvw_rdf_convertor_spark.kg.synth import alias_dictionary
 from csvw_rdf_convertor_spark.ops import asof, dedup, similarity, text as text_ops
 from csvw_rdf_convertor_spark.ops import chunk as chunk_ops
 from csvw_rdf_convertor_spark.ops import decontam
+from csvw_rdf_convertor_spark.ops import kmeans as kmeans_ops
 from csvw_rdf_convertor_spark.ops import sample as sample_ops
 from csvw_rdf_convertor_spark.plans.csvw2rdf import table_to_triples
 from csvw_rdf_convertor_spark.plans import rdf2csvw
@@ -1183,6 +1184,37 @@ SELECT doc_id, term, tf, df, score_ppm FROM r WHERE rn <= 3
 """
 
 
+def q_text_length_quantiles(spark, sf_dir):
+    """Exact per-language token-length quantiles (p50/p90/p99) with
+    integer-rational rank math — ops/text.group_quantiles."""
+    docs = _p(spark, sf_dir, "documents")
+    with_n = docs.select(
+        "lang", "doc_id",
+        text_ops.token_count(F.col("text")).cast("long").alias("n_tokens"))
+    return text_ops.group_quantiles(with_n, "n_tokens", "lang", "doc_id")
+
+
+SQL_TEXT_LENGTH_QUANTILES = text_ops.sql_group_quantiles(
+    r"""(SELECT lang, doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+         FROM documents)""",
+    "n_tokens", "lang", "doc_id")
+
+
+def q_kmeans_quantized(spark, sf_dir):
+    """Integer-exact quantized Lloyd's k-means (ops/kmeans.py): 2 full
+    iterations from the hash-seeded start, final assignment replayed
+    bit-for-bit by the DuckDB CTE chain — an ITERATIVE algorithm under the
+    value-hash gate, possible only because every step is integer-exact."""
+    emb = _p(spark, sf_dir, "embeddings")
+    return kmeans_ops.kmeans_quantized(emb, k=4, n_iter=2)
+
+
+SQL_KMEANS_QUANTIZED = kmeans_ops.sql_kmeans_quantized(
+    "embeddings", k=4, n_iter=2, dim=64)
+
+
 def q_text_pack_sequences(spark, sf_dir):
     """GPT-style concat-and-split sequence packing (per-shard layout,
     context 128, one EOS separator per doc — ops/chunk.pack_sequences);
@@ -2041,6 +2073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": q_text_pack_sequences,
         "text_tfidf_topk": q_text_tfidf_topk,
         "decontam_ngram_overlap": q_decontam_ngram_overlap,
+        "text_length_quantiles": q_text_length_quantiles,
+        "kmeans_quantized": q_kmeans_quantized,
         "sample_hash_split": q_sample_hash_split,
         "sample_stratified": q_sample_stratified,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
@@ -2108,6 +2142,8 @@ def oracle_sql() -> dict[str, str]:
         "text_pack_sequences": SQL_TEXT_PACK_SEQUENCES,
         "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,
         "decontam_ngram_overlap": SQL_DECONTAM_NGRAM_OVERLAP,
+        "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,
+        "kmeans_quantized": SQL_KMEANS_QUANTIZED,
         "sample_hash_split": SQL_SAMPLE_HASH_SPLIT,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "sim_topk_bruteforce": SQL_SIM_TOPK,

@@ -268,6 +268,66 @@ def tf_idf_top_terms(docs: DataFrame, k: int = 3, *, text_col: str = "text",
             .select(id_col, "term", "tf", "df", "score_ppm"))
 
 
+#: (label, numerator, denominator) — quantile ranks as RATIONALS: the rank
+#: ceil(q·n) computed as (n·num + den − 1) div den is integer-exact, while
+#: float q·n misrounds at boundaries (0.9·10 = 9.000000000000002 → ceil 10)
+QUANTILES: tuple[tuple[str, int, int], ...] = (
+    ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def group_quantiles(df: DataFrame, value_col: str, group_col: str,
+                    order_col: str,
+                    quantiles: tuple[tuple[str, int, int], ...] = QUANTILES,
+                    ) -> DataFrame:
+    """Exact discrete quantiles per group: the value at 1-based sorted rank
+    ``ceil(q·count)`` (classic percentile_disc), rank arithmetic in exact
+    integers (see QUANTILES). ``order_col`` breaks ties among equal values
+    so the picked ROW is deterministic (the picked VALUE already is).
+
+    Scale note: exact quantiles sort within each group (one shuffle + a
+    per-group window). That is the right tool for gate-style determinism
+    and for bounded-cardinality groups (languages, sources); for quantiles
+    over ungrouped 100 TB columns use ``approx_percentile`` — documented
+    trade, not a hidden one.
+
+    Returns ``(group_col, q, {value_col})`` — one row per group × quantile.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col, order_col)
+    ranked = (df
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("_cnt", F.count("*").over(
+                  Window.partitionBy(group_col))))
+    qs = F.explode(F.array(*[
+        F.struct(F.lit(lbl).alias("q"),
+                 F.lit(num).cast("long").alias("_num"),
+                 F.lit(den).cast("long").alias("_den"))
+        for lbl, num, den in quantiles])).alias("_q")
+    return (ranked.select(group_col, value_col, "_rn", "_cnt", qs)
+            .where(F.col("_rn") == F.expr(
+                "(_cnt * _q._num + _q._den - 1) div _q._den"))
+            .select(group_col, F.col("_q.q").alias("q"), value_col))
+
+
+def sql_group_quantiles(rel: str, value_col: str, group_col: str,
+                        order_col: str,
+                        quantiles: tuple[tuple[str, int, int], ...] = QUANTILES,
+                        ) -> str:
+    """DuckDB oracle twin of :func:`group_quantiles`."""
+    qrows = ", ".join(f"('{lbl}', {num}, {den})" for lbl, num, den in quantiles)
+    return rf"""
+WITH ranked AS (
+  SELECT {group_col}, {value_col},
+         ROW_NUMBER() OVER (PARTITION BY {group_col}
+           ORDER BY {value_col}, {order_col}) AS rn,
+         COUNT(*) OVER (PARTITION BY {group_col}) AS cnt
+  FROM {rel}),
+qs(q, num, den) AS (VALUES {qrows})
+SELECT {group_col}, q, {value_col}
+FROM ranked CROSS JOIN qs
+WHERE rn = (cnt * num + den - 1) // den
+"""
+
+
 # --- document fingerprinting ----------------------------------------------------
 
 FNV_MOD = 2147483647  # 2^31 - 1
