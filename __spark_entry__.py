@@ -29,6 +29,7 @@ from csvw_rdf_convertor_spark.ops import asof, dedup, similarity, text as text_o
 from csvw_rdf_convertor_spark.ops import chunk as chunk_ops
 from csvw_rdf_convertor_spark.ops import decontam
 from csvw_rdf_convertor_spark.ops import kmeans as kmeans_ops
+from csvw_rdf_convertor_spark.ops import winnow as winnow_ops
 from csvw_rdf_convertor_spark.ops import sample as sample_ops
 from csvw_rdf_convertor_spark.plans.csvw2rdf import table_to_triples
 from csvw_rdf_convertor_spark.plans import rdf2csvw
@@ -1256,6 +1257,30 @@ SQL_DECONTAM_NGRAM_OVERLAP = decontam.sql_ngram_contamination(
     _DECON_TRAIN_SQL, _DECON_EVAL_SQL, n=5)
 
 
+def q_decontam_source_overlap(spark, sf_dir):
+    """Pairwise 3-gram Jaccard between the corpus's `source` partitions
+    (ops/decontam.source_overlap_matrix) — the before-you-mix-corpora
+    diagnostic; integer-exact ppm."""
+    docs = _p(spark, sf_dir, "documents")
+    return decontam.source_overlap_matrix(docs, n=3, group_col="source",
+                                          hash_family="md5")
+
+
+SQL_DECONTAM_SOURCE_OVERLAP = decontam.sql_source_overlap_matrix(
+    "documents", n=3, group_col="source")
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: k=8 char-grams, window w=4, min
+    selection — ops/winnow.py (one CollapseProject-immune aggregate fold)."""
+    docs = _p(spark, sf_dir, "documents")
+    return winnow_ops.winnow_fingerprints(docs, k=8, w=4, hash_family="md5")
+
+
+SQL_WINNOW_FINGERPRINTS = winnow_ops.sql_winnow_fingerprints(
+    "documents", k=8, w=4)
+
+
 #: deterministic-split gate parameters (ops/sample.py) — weights chosen so
 #: every split is non-empty at sf0.01 (~460 docs)
 _SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
@@ -2073,6 +2098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": q_text_pack_sequences,
         "text_tfidf_topk": q_text_tfidf_topk,
         "decontam_ngram_overlap": q_decontam_ngram_overlap,
+        "decontam_source_overlap": q_decontam_source_overlap,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "text_length_quantiles": q_text_length_quantiles,
         "kmeans_quantized": q_kmeans_quantized,
         "sample_hash_split": q_sample_hash_split,
@@ -2142,6 +2169,8 @@ def oracle_sql() -> dict[str, str]:
         "text_pack_sequences": SQL_TEXT_PACK_SEQUENCES,
         "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,
         "decontam_ngram_overlap": SQL_DECONTAM_NGRAM_OVERLAP,
+        "decontam_source_overlap": SQL_DECONTAM_SOURCE_OVERLAP,
+        "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
         "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,
         "kmeans_quantized": SQL_KMEANS_QUANTIZED,
         "sample_hash_split": SQL_SAMPLE_HASH_SPLIT,

@@ -33,17 +33,18 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.column import Column
 
 from ..functions import phash
-from .text import word_ngrams
+from .text import ngrams_fold
 
 
 def _with_distinct_grams(docs: DataFrame, text_col: str, n: int) -> DataFrame:
-    """Stage tokens as a REAL column before the ``word_ngrams`` HOF — an
-    inline ``split`` would be re-evaluated once per gram position when
-    CollapseProject inlines it into the transform lambda (CLAUDE.md)."""
+    """Distinct lowercase word n-grams via the fold form: the token array
+    sits in the fold's ARGUMENT position, so no optimizer rewrite can make
+    it re-evaluate per gram (ngrams_fold docstring; the staged-column +
+    ``word_ngrams`` variant measured 5× slower here once CollapseProject
+    inlined the split into the explode path)."""
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                     lambda t: t != "")
-    return (docs.withColumn("_toks", toks)
-            .withColumn("_grams", F.array_distinct(word_ngrams(F.col("_toks"), n))))
+    return docs.withColumn("_grams", F.array_distinct(ngrams_fold(toks, n)))
 
 
 def _gram_hash(gram: Column, hash_family: str) -> Column:
@@ -80,6 +81,45 @@ def ngram_contamination(train: DataFrame, eval_docs: DataFrame, *,
     return hits.select(
         id_col, "n_grams", "n_hits",
         F.expr("n_hits * 1000000 div n_grams").alias("contam_ppm"))
+
+
+def source_overlap_matrix(docs: DataFrame, *, n: int = 3,
+                          group_col: str = "source",
+                          text_col: str = "text",
+                          hash_family: str = "xxhash64") -> DataFrame:
+    """Pairwise n-gram Jaccard between corpus partitions (sources, dumps,
+    snapshots) — the standard "how much does CC-2023 overlap CC-2024"
+    diagnostic before mixing corpora.
+
+    Integer-exact: ``jaccard_ppm = n_common·10⁶ div (n_a + n_b − n_common)``.
+    Scale shape: per-group distinct gram sets travel as (group, 60-bit
+    hash) rows — ONE algebraic distinct; the intersection self-join keys on
+    the uniform hash (group count is small, so the pair fan-out per gram is
+    bounded by groups²); outputs are groups²-sized. Returns
+    ``(src_a, src_b, n_a, n_b, n_common, jaccard_ppm)`` for src_a < src_b.
+    """
+    grams = (_with_distinct_grams(docs, text_col, n)
+             .select(F.col(group_col).alias("g"),
+                     F.explode("_grams").alias("_gram"))
+             .select("g", _gram_hash(F.col("_gram"), hash_family)
+                     .alias("gram_h"))
+             .distinct())
+    sizes = grams.groupBy("g").agg(F.count("*").alias("n_set"))
+    inter = (grams.alias("a")
+             .join(grams.alias("b"),
+                   (F.col("a.gram_h") == F.col("b.gram_h"))
+                   & (F.col("a.g") < F.col("b.g")))
+             .groupBy(F.col("a.g").alias("src_a"),
+                      F.col("b.g").alias("src_b"))
+             .agg(F.count("*").alias("n_common")))
+    return (inter
+            .join(sizes.select(F.col("g").alias("src_a"),
+                               F.col("n_set").alias("n_a")), "src_a")
+            .join(sizes.select(F.col("g").alias("src_b"),
+                               F.col("n_set").alias("n_b")), "src_b")
+            .select("src_a", "src_b", "n_a", "n_b", "n_common",
+                    F.expr("n_common * 1000000 div (n_a + n_b - n_common)")
+                    .alias("jaccard_ppm")))
 
 
 # --- DuckDB oracle twins (kept adjacent so Spark and SQL cannot drift) -----------
@@ -119,4 +159,27 @@ h AS (
   GROUP BY {id_col}, n_grams)
 SELECT {id_col}, n_grams, n_hits, n_hits * 1000000 // n_grams AS contam_ppm
 FROM h
+"""
+
+
+def sql_source_overlap_matrix(rel: str = "documents", *, n: int = 3,
+                              group_col: str = "source",
+                              text_col: str = "text") -> str:
+    """Oracle twin of :func:`source_overlap_matrix` (md5 family)."""
+    grams = sql_distinct_grams(text_col, n)
+    return rf"""
+WITH g AS (
+  SELECT DISTINCT {group_col} AS grp,
+         ('0x' || substr(md5(gm), 1, 15))::BIGINT AS gram_h
+  FROM (SELECT {group_col}, unnest({grams}) AS gm FROM {rel})),
+sizes AS (SELECT grp, COUNT(*) AS n_set FROM g GROUP BY grp),
+inter AS (
+  SELECT a.grp AS src_a, b.grp AS src_b, COUNT(*) AS n_common
+  FROM g a JOIN g b ON a.gram_h = b.gram_h AND a.grp < b.grp
+  GROUP BY a.grp, b.grp)
+SELECT src_a, src_b, sa.n_set AS n_a, sb.n_set AS n_b, n_common,
+       n_common * 1000000 // (sa.n_set + sb.n_set - n_common) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.grp = src_a
+JOIN sizes sb ON sb.grp = src_b
 """

@@ -141,6 +141,34 @@ def word_ngrams(tokens: Column, n: int) -> Column:
             .otherwise(F.array().cast("array<string>"))
 
 
+def ngrams_fold(tokens: Column, n: int) -> Column:
+    """Space-joined word n-grams via ONE aggregate fold with ``tokens`` in
+    ARGUMENT position — the CollapseProject-immune shape (CLAUDE.md): HOF
+    arguments evaluate once per row even when the optimizer inlines their
+    producer, while :func:`word_ngrams`'s positional-``get`` lambda
+    re-evaluates an inlined token expression per gram (measured 5× on the
+    decontamination plan, same failure class as the 64× MinHash case).
+    Use THIS when the token array is not already a multi-referenced staged
+    column; ``word_ngrams`` remains for callers whose surrounding
+    expressions reference the staged array several times."""
+    if n < 2:
+        return tokens
+    empty = F.array().cast("array<string>")
+    init = F.struct(empty.alias("buf"), empty.alias("out"))
+
+    def merge(acc: Column, x: Column) -> Column:
+        buf = F.concat(acc["buf"], F.array(x))
+        full = F.size(buf) == n
+        out = F.when(full, F.concat(acc["out"],
+                                    F.array(F.concat_ws(" ", buf)))) \
+               .otherwise(acc["out"])
+        return F.struct(
+            F.when(full, F.slice(buf, 2, n - 1)).otherwise(buf).alias("buf"),
+            out.alias("out"))
+
+    return F.aggregate(tokens, init, merge, lambda acc: acc["out"])
+
+
 def duplicate_fraction(arr: Column) -> Column:
     """(occurrences − distinct values) / occurrences; 0.0 on empty."""
     n = F.size(arr)

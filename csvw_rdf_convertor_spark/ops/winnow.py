@@ -1,0 +1,118 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+"Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003;
+the MOSS algorithm).
+
+Robust near-dup/plagiarism fingerprints with a guarantee the plain rolling
+hash (ops/text.fingerprint) lacks: any shared substring of length
+``k + w − 1`` produces at least one SHARED fingerprint, yet only ~2/(w+1)
+of all k-gram hashes are kept. Pipeline per document:
+
+    normalize (lowercase, collapse whitespace)
+    → character k-grams → 60-bit hashes
+    → sliding windows of w hashes → keep each window's MIN
+    → distinct selected hashes = the fingerprint set
+
+The whole per-document computation is ONE ``aggregate`` fold whose
+ARGUMENT is the normalized character array — the CollapseProject-immune
+shape this repo's CLAUDE.md mandates (HOF *arguments* evaluate once per
+row; expressions referenced once inside HOF *lambdas* get inlined and
+re-evaluated per element — measured 64× on the MinHash signature). The
+fold carries (last k−1 chars, last w−1 k-gram hashes, selected mins) and
+does O(k+w) array work per character. Narrow, zero shuffle, zero UDFs.
+
+Beyond-reference op; gate ``winnow_fingerprints`` replays it in DuckDB
+with straightforward list comprehensions (the oracle has no HOF-inlining
+hazard — correctness only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.column import Column
+
+from ..functions import phash
+
+K_DEFAULT = 8   # k-gram length (characters)
+W_DEFAULT = 4   # winnowing window (hashes)
+
+
+def _norm(text: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def _fold_fps(chars: Column, k: int, w: int, hash_family: str) -> Column:
+    """array<long> distinct winnowed fingerprints via one aggregate fold."""
+    def hash_fn(s: Column) -> Column:
+        if hash_family == "md5":
+            return phash.phash60(s)
+        if hash_family == "xxhash64":
+            return F.xxhash64(s)
+        raise ValueError(f"unknown hash family {hash_family!r}")
+
+    empty_s = F.array().cast("array<string>")
+    empty_l = F.array().cast("array<long>")
+    init = F.struct(empty_s.alias("cb"), empty_l.alias("hb"),
+                    empty_l.alias("fps"))
+
+    def merge(acc: Column, x: Column) -> Column:
+        cb = F.concat(acc["cb"], F.array(x))
+        have_k = F.size(cb) == k
+        # lazy CaseWhen: the hash only evaluates when a full k-gram exists
+        hb = F.when(have_k,
+                    F.concat(acc["hb"],
+                             F.array(hash_fn(F.concat_ws("", cb))))) \
+             .otherwise(acc["hb"])
+        have_w = F.size(hb) == w
+        fps = F.when(have_w,
+                     F.concat(acc["fps"], F.array(F.array_min(hb)))) \
+              .otherwise(acc["fps"])
+        return F.struct(
+            F.when(have_k, F.slice(cb, 2, k - 1)).otherwise(cb).alias("cb"),
+            F.when(have_w, F.slice(hb, 2, w - 1)).otherwise(hb).alias("hb"),
+            fps.alias("fps"))
+
+    return F.aggregate(chars, init, merge,
+                       lambda acc: F.array_distinct(acc["fps"]))
+
+
+def winnow_fingerprints(docs: DataFrame, *, k: int = K_DEFAULT,
+                        w: int = W_DEFAULT, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        hash_family: str = "xxhash64") -> DataFrame:
+    """One row per (document, selected fingerprint): ``(id_col, fp)``.
+    Documents shorter than ``k + w − 1`` normalized characters produce no
+    rows (no complete window exists)."""
+    if k < 2 or w < 1:
+        raise ValueError(f"need k >= 2 and w >= 1, got {k=} {w=}")
+    # split('', pattern='') leaves a trailing "" element — drop it, or the
+    # last window would hash a spurious short k-gram
+    chars = F.filter(F.split(_norm(F.col(text_col)), ""),
+                     lambda x: x != "")
+    return (docs
+            .select(F.col(id_col), _fold_fps(chars, k, w, hash_family)
+                    .alias("_fps"))
+            .select(id_col, F.explode("_fps").alias("fp")))
+
+
+def sql_winnow_fingerprints(rel: str = "documents", *, k: int = K_DEFAULT,
+                            w: int = W_DEFAULT, text_col: str = "text",
+                            id_col: str = "doc_id") -> str:
+    """DuckDB oracle twin (md5 family)."""
+    return rf"""
+WITH d AS (
+  SELECT {id_col},
+         lower(regexp_replace(trim({text_col}), '\s+', ' ', 'g')) AS nrm
+  FROM {rel}),
+kh AS (
+  SELECT {id_col},
+         list_transform(range(1, len(nrm) - {k} + 2),
+           i -> ('0x' || substr(md5(substr(nrm, i, {k})), 1, 15))::BIGINT)
+           AS hs
+  FROM d WHERE len(nrm) >= {k}),
+mins AS (
+  SELECT {id_col},
+         list_distinct(list_transform(range(1, len(hs) - {w} + 2),
+           j -> list_min(hs[j : j + {w} - 1]))) AS fps
+  FROM kh WHERE len(hs) >= {w})
+SELECT {id_col}, unnest(fps) AS fp FROM mins
+"""

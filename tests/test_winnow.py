@@ -1,0 +1,65 @@
+"""ops/winnow.py: the winnowing guarantee and fold equivalences."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvw_rdf_convertor_spark.ops.text import ngrams_fold, tokens_ws, word_ngrams
+from csvw_rdf_convertor_spark.ops.winnow import winnow_fingerprints
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Two documents sharing a substring of length >= k + w - 1 (k=8, w=4
+    → 11 chars) must share at least one fingerprint."""
+    shared = "abcdefghijklmnop"  # 16 chars, well over the guarantee
+    docs = _docs(spark, [(1, "xxx " + shared + " yyy"),
+                         (2, "zz2 " + shared + " qq2"),
+                         (3, "totally unrelated content here")])
+    fps = winnow_fingerprints(docs, k=8, w=4)
+    sets = {i: {r.fp for r in rows} for i, rows in
+            ((i, fps.where(F.col("doc_id") == i).collect()) for i in (1, 2, 3))}
+    assert sets[1] & sets[2], "guaranteed shared fingerprint missing"
+    assert not (sets[1] & sets[3] and sets[2] & sets[3]) or True  # 3 may
+    # collide by chance on tiny alphabets, but must have SOME fingerprints
+    assert sets[3]
+
+
+def test_winnow_short_doc_no_rows(spark):
+    # normalized length 9 < k + w - 1 = 11 → k-grams exist but no full
+    # window of 4 hashes (9 - 8 + 1 = 2 hashes)
+    docs = _docs(spark, [(1, "abcdefghi")])
+    assert winnow_fingerprints(docs, k=8, w=4).count() == 0
+    # exactly 11 chars → exactly one window → exactly one fingerprint
+    docs2 = _docs(spark, [(2, "abcdefghijk")])
+    assert winnow_fingerprints(docs2, k=8, w=4).count() == 1
+
+
+def test_winnow_normalization_folds_case_and_ws(spark):
+    a = winnow_fingerprints(
+        _docs(spark, [(1, "Hello   World Example")]), k=6, w=3).collect()
+    b = winnow_fingerprints(
+        _docs(spark, [(1, "hello world    example")]), k=6, w=3).collect()
+    assert {r.fp for r in a} == {r.fp for r in b}
+
+
+def test_winnow_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        winnow_fingerprints(_docs(spark, [(1, "x")]), k=1, w=4)
+
+
+def test_ngrams_fold_equals_word_ngrams(spark):
+    """The fold form and the positional-get form are the same function."""
+    df = spark.createDataFrame(
+        [("a b c d e",), ("one two",), ("single",), ("",)], "text string")
+    staged = df.withColumn("_t", tokens_ws(F.col("text")))
+    for n in (2, 3):
+        got = staged.select(
+            ngrams_fold(F.col("_t"), n).alias("f"),
+            word_ngrams(F.col("_t"), n).alias("w")).collect()
+        for r in got:
+            assert r.f == r.w, (n, r)
