@@ -31,6 +31,7 @@ from csvw_rdf_convertor_spark.ops import decontam
 from csvw_rdf_convertor_spark.ops import kmeans as kmeans_ops
 from csvw_rdf_convertor_spark.ops import winnow as winnow_ops
 from csvw_rdf_convertor_spark.ops import sample as sample_ops
+from csvw_rdf_convertor_spark.ops import sketch as sketch_ops
 from csvw_rdf_convertor_spark.plans.csvw2rdf import table_to_triples
 from csvw_rdf_convertor_spark.plans import rdf2csvw
 from csvw_rdf_convertor_spark.spec import (DatatypeSpec, parse_descriptor,
@@ -1330,6 +1331,41 @@ GROUP BY lang
 """
 
 
+def q_sample_bottom_k(spark, sf_dir):
+    """Deterministic fixed-SIZE sample (ops/sample.bottom_k_sample): the 25
+    orders with the smallest salted 60-bit hash — TakeOrdered, no full
+    sort shuffle; pure function of (salt, ids)."""
+    orders = _p(spark, sf_dir, "orders")
+    return (sample_ops.bottom_k_sample(orders, 25, "bk",
+                                       id_col="o_orderkey", family="md5")
+            .select("o_orderkey", "o_custkey", "o_orderpriority"))
+
+
+SQL_SAMPLE_BOTTOM_K = f"""
+SELECT o_orderkey, o_custkey, o_orderpriority
+FROM orders
+ORDER BY {sample_ops.sql_u60('o_orderkey', 'bk')}, o_orderkey
+LIMIT 25
+"""
+
+
+def q_sketch_theta_distinct(spark, sf_dir):
+    """Deterministic distinct-count sketch (ops/sketch.theta_distinct):
+    estimate the corpus's distinct-term count from the 2^-2 hash-threshold
+    survivor set — bit-identical in both engines (no RNG, no floats)."""
+    docs = _p(spark, sf_dir, "documents")
+    terms = (docs.select(F.explode(text_ops.tokens_ws(F.col("text")))
+                         .alias("term"))
+             .where(F.col("term") != ""))
+    return sketch_ops.theta_distinct(terms, "term", b=2, hash_family="md5")
+
+
+SQL_SKETCH_THETA_DISTINCT = sketch_ops.sql_theta_distinct(
+    r"""(SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                   t -> t <> '')) AS term FROM documents)""",
+    "term", b=2)
+
+
 def q_dedup_simhash_hamming(spark, sf_dir):
     """SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole banding (k+1
     hex slices) + exact verify (ops/dedup.simhash_hamming_pairs)."""
@@ -2104,6 +2140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_quantized": q_kmeans_quantized,
         "sample_hash_split": q_sample_hash_split,
         "sample_stratified": q_sample_stratified,
+        "sample_bottom_k": q_sample_bottom_k,
+        "sketch_theta_distinct": q_sketch_theta_distinct,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -2175,6 +2213,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_quantized": SQL_KMEANS_QUANTIZED,
         "sample_hash_split": SQL_SAMPLE_HASH_SPLIT,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
+        "sample_bottom_k": SQL_SAMPLE_BOTTOM_K,
+        "sketch_theta_distinct": SQL_SKETCH_THETA_DISTINCT,
         "sim_topk_bruteforce": SQL_SIM_TOPK,
         "sim_lsh_topk": SQL_SIM_LSH_TOPK,
         "sim_ivf_topk": SQL_SIM_IVF_TOPK,

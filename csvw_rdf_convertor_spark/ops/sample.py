@@ -135,6 +135,28 @@ def stratified_sample(
     return df.where(u < th)
 
 
+def bottom_k_sample(df: DataFrame, k: int, salt: str, *,
+                    id_col: str = "doc_id",
+                    family: str = "xxhash64") -> DataFrame:
+    """Deterministic FIXED-SIZE sample: the ``k`` rows whose salted 60-bit
+    hash is smallest (ties by id). Unlike rate-based ``hash_split`` this
+    pins the sample SIZE exactly; unlike ``df.sample`` it is a pure
+    function of (salt, ids) — stable under retries, resume and
+    repartitioning, and DuckDB-replayable in the md5 family.
+
+    Scale: ``orderBy(u).limit(k)`` compiles to TakeOrderedAndProject —
+    per-partition top-k heaps merged on the driver, k rows of driver
+    memory, NO full sort shuffle. Growing the corpus only rotates members
+    in/out via the hash order (bottom-k sets are mergeable across shards).
+    """
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    u = sample_u60(F.col(id_col), salt, family)
+    return (df.withColumn("_u", u)
+            .orderBy("_u", id_col).limit(k)
+            .drop("_u"))
+
+
 # --- DuckDB twins (oracle SQL fragments; md5 family only) --------------------
 
 def sql_u60(id_expr: str, salt: str) -> str:
