@@ -49,12 +49,21 @@ KG_LEN = int(os.environ.get("SCALE_KG_LEN", 600))
 TM_CONVS = int(os.environ.get("SCALE_TM_CONVS", 400_000))
 TM_LEN = int(os.environ.get("SCALE_TM_LEN", 800))
 MAP_REPL = int(os.environ.get("SCALE_MAP_REPL", 4))
+#: dedup corpus: synthetic docs (vocab-hash tokens) with planted near-dup
+#: pairs every 50 ids; pairs share a base id so they stay shard-local —
+#: the harness's disjoint-shard model measures the per-executor LSH work
+#: (shingle→signature→band→verify); the cross-executor band exchange at
+#: cluster scale ships 8-byte id rows (ops/dedup.py design, not measurable
+#: in single-JVM workers — same documented seam as the other workloads)
+DD_DOCS = int(os.environ.get("SCALE_DD_DOCS", 150_000))
+DD_LEN = int(os.environ.get("SCALE_DD_LEN", 50))
+DD_VOCAB = int(os.environ.get("SCALE_DD_VOCAB", 5_000))
 N_SAMPLES = int(os.environ.get("SCALE_SAMPLES", N_SAMPLES))
 #: subset of workloads to run (comma list) — mapping,turn_mapping,kg.
 #: Canonicalized to worker execution order (ADVICE r3: the driver's barrier
 #: loop must release go-files in the SAME order workers hit them, or an env
 #: ordering like "kg,mapping" deadlocks both sides)
-_CANON_WORKLOADS = ("mapping", "turn_mapping", "kg")
+_CANON_WORKLOADS = ("mapping", "turn_mapping", "kg", "dedup")
 WORKLOADS = tuple(
     w for w in _CANON_WORKLOADS
     if w in set(os.environ.get("SCALE_WORKLOADS",
@@ -81,6 +90,7 @@ TITLES = {
     "mapping": "CSVW→RDF mapping (lineitem sf0.1 ×4, regex-heavy cells)",
     "turn_mapping": "transcripts turn mapping (narrow path)",
     "kg": "KG pipeline end-to-end (mapping+mentions+linking+CC+write)",
+    "dedup": "MinHash-LSH near-dup pairs (shingle→signature→band→verify)",
 }
 
 
@@ -122,6 +132,25 @@ def prep_inputs(sf_dir: str) -> None:
                            F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int"))
         tm.write.mode("overwrite").partitionBy("_shard").parquet(
             str(SCRATCH / "tm_corpus"))
+
+    if "dedup" in WORKLOADS:
+        # tokens are vocab hashes of (base_key, pos); ids ≡ 1 (mod 50)
+        # reuse id−1's stream except the last token → planted near-dup
+        # pairs (~2% of docs), shard-local by construction (shard on base)
+        base = F.when(F.col("id") % 50 == 1, F.col("id") - 1) \
+                .otherwise(F.col("id"))
+        toks = [F.concat(F.lit("w"), F.pmod(
+                    F.xxhash64(base, F.lit(p)), F.lit(DD_VOCAB)))
+                for p in range(DD_LEN - 1)]
+        toks.append(F.concat(F.lit("w"), F.pmod(
+            F.xxhash64(F.col("id"), F.lit(DD_LEN - 1)), F.lit(DD_VOCAB))))
+        dd = (spark.range(DD_DOCS)
+              .select(F.col("id").alias("doc_id"),
+                      F.concat_ws(" ", *toks).alias("text"),
+                      F.pmod(F.xxhash64(base), F.lit(4)).cast("int")
+                      .alias("_shard")))
+        dd.write.mode("overwrite").partitionBy("_shard").parquet(
+            str(SCRATCH / "dd_corpus"))
 
     if "mapping" not in WORKLOADS:
         spark.stop()
@@ -211,6 +240,8 @@ def worker(spec_path: str) -> None:
         _w_turn(spec, shard_read, out, sample_loop)
     if "kg" in WORKLOADS:
         _w_kg(spec, shard_read, out, sample_loop)
+    if "dedup" in WORKLOADS:
+        _w_dedup(spec, shard_read, out, sample_loop)
     Path(spec["out_path"]).write_text(json.dumps(out))
 
 
@@ -284,6 +315,25 @@ def _w_kg(spec, shard_read, out, sample_loop):
     if samples is not None:
         out["workloads"]["kg"] = {"rows": state["triples"],
                                   "turns": n_turns, "samples": samples}
+
+
+def _w_dedup(spec, shard_read, out, sample_loop):
+    from csvw_rdf_convertor_spark.ops.dedup import minhash_near_duplicates
+    dd = shard_read("dd_corpus")
+    n_docs = dd.count()
+    pairs = minhash_near_duplicates(dd, threshold=0.6,
+                                    hash_family="xxhash64")
+    n_pairs = pairs.count()          # warm; ALSO the cross-level identity
+    # check: planted pairs are shard-local, so N (union of shards) and 4N
+    # (one shard each) must discover the exact same pair set
+    once = lambda: pairs.write.format("noop").mode("overwrite").save()  # noqa: E731
+    for _ in range(N_WARM):
+        once()
+    samples = sample_loop("dedup", once)
+    if samples is not None:
+        out["workloads"]["dedup"] = {"rows": n_pairs, "docs": n_docs,
+                                     "samples": samples}
+    dd.unpersist()
 
 
 # ------------------------------- driver -------------------------------------
