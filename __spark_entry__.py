@@ -1349,6 +1349,18 @@ LIMIT 25
 """
 
 
+def q_sample_mixture_rates(spark, sf_dir):
+    """Downsampling rates toward a uniform language mixture
+    (ops/sample.mixture_rates): the binding stratum keeps rate 1e6 ppm,
+    every other is cut to match — all-integer arithmetic."""
+    docs = _p(spark, sf_dir, "documents")
+    return sample_ops.mixture_rates(docs, "lang")
+
+
+SQL_SAMPLE_MIXTURE_RATES = sample_ops.sql_mixture_rates(
+    "documents", "lang", n_strata_uniform=5)
+
+
 def q_sketch_theta_distinct(spark, sf_dir):
     """Deterministic distinct-count sketch (ops/sketch.theta_distinct):
     estimate the corpus's distinct-term count from the 2^-2 hash-threshold
@@ -2141,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_split": q_sample_hash_split,
         "sample_stratified": q_sample_stratified,
         "sample_bottom_k": q_sample_bottom_k,
+        "sample_mixture_rates": q_sample_mixture_rates,
         "sketch_theta_distinct": q_sketch_theta_distinct,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_lsh_topk": q_sim_lsh_topk,
@@ -2214,6 +2227,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash_split": SQL_SAMPLE_HASH_SPLIT,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "sample_bottom_k": SQL_SAMPLE_BOTTOM_K,
+        "sample_mixture_rates": SQL_SAMPLE_MIXTURE_RATES,
         "sketch_theta_distinct": SQL_SKETCH_THETA_DISTINCT,
         "sim_topk_bruteforce": SQL_SIM_TOPK,
         "sim_lsh_topk": SQL_SIM_LSH_TOPK,

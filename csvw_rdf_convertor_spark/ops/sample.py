@@ -135,6 +135,84 @@ def stratified_sample(
     return df.where(u < th)
 
 
+def mixture_rates(df: DataFrame, stratum_col: str,
+                  target_ppm: dict[str, int] | None = None) -> DataFrame:
+    """Per-stratum DOWNSAMPLING rates that move the corpus toward a target
+    mixture — the arithmetic behind every "rebalance the language/source
+    mix" step, as one algebraic aggregation.
+
+    ``target_ppm`` maps stratum → desired share in parts-per-million
+    (defaults to uniform across observed strata; must sum to ≤ 1e6).
+    Downsampling-only semantics (no upsampling): the stratum whose
+    count/target ratio is SMALLEST is the binding one and keeps rate 1.0;
+    every other stratum is cut to match it:
+
+        keep_i  =  target_i · min_j(count_j / target_j)
+        rate_i  =  keep_i / count_i          (exact integer ppm)
+
+    All arithmetic is integer and EXACT: the binding stratum is the argmin
+    of the fraction count/target found by cross-multiplied comparison
+    (``n_y·t_x < n_x·t_y`` — no pre-divided ratio, whose floor would lose
+    the binding stratum's own rate-1.0 exactness; products stay ≤
+    n·10⁶ < 2^63 up to 10¹² rows). ``n_keep = t_i·n_b div t_b`` is ≤ n_i
+    by the argmin property and equals n_b exactly on the binding stratum.
+    Returns ``(stratum_col, n_rows, rate_ppm, n_keep)`` — feed
+    ``rate_ppm/1e6`` into :func:`stratified_sample`.
+
+    Scale: one algebraic count shuffle; everything after is strata-sized
+    (the argmin anti-join and the broadcast are over the aggregate, never
+    the corpus).
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_rows"))
+    if target_ppm is None:
+        # uniform target: one strata-sized action at plan-build time
+        n_strata = counts.select(F.count("*")).first()[0]
+        if n_strata == 0:
+            raise ValueError("empty input: no strata observed")
+        tgt = F.lit(1_000_000 // n_strata).cast("long")
+    else:
+        if sum(target_ppm.values()) > 1_000_000:
+            raise ValueError("target_ppm shares sum past 1e6")
+        tgt = F.lit(None).cast("long")
+        for k, v in sorted(target_ppm.items()):
+            tgt = F.when(F.col(stratum_col) == k, F.lit(int(v))).otherwise(tgt)
+    with_t = (counts.withColumn("_tgt", tgt)
+              .where(F.col("_tgt").isNotNull() & (F.col("_tgt") > 0)))
+    # binding stratum = exact argmin of n/t (cross-multiplied; ties to the
+    # lexicographically smallest stratum) via one strata-sized anti-join
+    x = with_t.select(F.col(stratum_col).alias("_s"),
+                      F.col("n_rows").alias("_n"), F.col("_tgt").alias("_t"))
+    y = x.select(F.col("_s").alias("_s2"), F.col("_n").alias("_n2"),
+                 F.col("_t").alias("_t2"))
+    better = (F.col("_n2") * F.col("_t") < F.col("_n") * F.col("_t2")) | \
+             ((F.col("_n2") * F.col("_t") == F.col("_n") * F.col("_t2"))
+              & (F.col("_s2") < F.col("_s")))
+    binding = (x.join(y, better, "left_anti")
+               .select(F.col("_n").alias("_nb"), F.col("_t").alias("_tb")))
+    return (with_t.crossJoin(F.broadcast(binding))
+            .withColumn("n_keep", F.expr("least(n_rows, _tgt * _nb div _tb)"))
+            .withColumn("rate_ppm", F.expr("n_keep * 1000000 div n_rows"))
+            .select(stratum_col, "n_rows", "rate_ppm", "n_keep"))
+
+
+def sql_mixture_rates(rel: str, stratum_col: str, *,
+                      n_strata_uniform: int) -> str:
+    """DuckDB oracle twin (uniform-target form)."""
+    tgt = 1_000_000 // n_strata_uniform
+    return rf"""
+WITH c AS (SELECT {stratum_col} AS s, COUNT(*) AS n, {tgt} AS t FROM {rel}
+           GROUP BY {stratum_col}),
+b AS (SELECT x.n AS nb, x.t AS tb FROM c x
+      WHERE NOT EXISTS (SELECT 1 FROM c y
+        WHERE (y.n * x.t < x.n * y.t)
+           OR (y.n * x.t = x.n * y.t AND y.s < x.s)))
+SELECT s AS {stratum_col}, n AS n_rows,
+       least(n, t * nb // tb) * 1000000 // n AS rate_ppm,
+       least(n, t * nb // tb) AS n_keep
+FROM c CROSS JOIN b
+"""
+
+
 def bottom_k_sample(df: DataFrame, k: int, salt: str, *,
                     id_col: str = "doc_id",
                     family: str = "xxhash64") -> DataFrame:

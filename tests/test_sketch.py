@@ -64,6 +64,32 @@ def test_bottom_k_is_mergeable(spark):
     assert direct == merged
 
 
+def test_mixture_rates_uniform_target(spark):
+    """80 en / 10 de / 10 fr toward uniform: de/fr are binding (rate 1.0),
+    en is cut to ~10 rows."""
+    from csvw_rdf_convertor_spark.ops.sample import mixture_rates
+    rows = ([("en",)] * 80) + ([("de",)] * 10) + ([("fr",)] * 10)
+    df = spark.createDataFrame(rows, "lang string")
+    got = {r.lang: (r.n_rows, r.rate_ppm, r.n_keep)
+           for r in mixture_rates(df, "lang").collect()}
+    assert got["de"] == (10, 1_000_000, 10)
+    assert got["fr"] == (10, 1_000_000, 10)
+    n_rows, rate, keep = got["en"]
+    assert n_rows == 80 and keep == 10 and rate == 125_000
+
+
+def test_mixture_rates_explicit_target(spark):
+    from csvw_rdf_convertor_spark.ops.sample import mixture_rates
+    rows = ([("a",)] * 90) + ([("b",)] * 10)
+    df = spark.createDataFrame(rows, "src string")
+    # want 50/50: b binds (10/0.5 < 90/0.5) → keep 10 of each
+    got = {r.src: r.n_keep for r in mixture_rates(
+        df, "src", {"a": 500_000, "b": 500_000}).collect()}
+    assert got == {"a": 10, "b": 10}
+    with pytest.raises(ValueError):
+        mixture_rates(df, "src", {"a": 900_000, "b": 200_000})
+
+
 def test_bottom_k_k_exceeds_n(spark):
     assert bottom_k_sample(_ids(spark, range(5)), 10, "s").count() == 5
     with pytest.raises(ValueError):
