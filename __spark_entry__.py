@@ -1162,6 +1162,19 @@ SQL_TEXT_CHUNK_WINDOWS = (
     f"FROM ({chunk_ops.sql_chunk_documents('documents', size=16, overlap=4)})")
 
 
+def q_text_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (ops/chunk.cdc_chunks): k=8 rolling-gram
+    boundaries mod 64, min chunk 16 chars — shift-resilient storage-dedup
+    units, one argument-position fold, zero shuffle."""
+    docs = _p(spark, sf_dir, "documents")
+    return chunk_ops.cdc_chunks(docs, k=8, boundary_bits=6, min_size=16,
+                                hash_family="md5")
+
+
+SQL_TEXT_CDC_CHUNKS = chunk_ops.sql_cdc_chunks(
+    "documents", k=8, boundary_bits=6, min_size=16)
+
+
 def q_text_tfidf_topk(spark, sf_dir):
     """Top-3 characteristic terms per document by the integer-exact
     tf-idf-style score (ops/text.tf_idf_top_terms; see its docstring for
@@ -2143,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "text_chunk_windows": q_text_chunk_windows,
+        "text_cdc_chunks": q_text_cdc_chunks,
         "text_pack_sequences": q_text_pack_sequences,
         "text_tfidf_topk": q_text_tfidf_topk,
         "decontam_ngram_overlap": q_decontam_ngram_overlap,
@@ -2217,6 +2231,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_clusters": SQL_DEDUP_MINHASH_CLUSTERS,
         "text_chunk_windows": SQL_TEXT_CHUNK_WINDOWS,
+        "text_cdc_chunks": SQL_TEXT_CDC_CHUNKS,
         "text_pack_sequences": SQL_TEXT_PACK_SEQUENCES,
         "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,
         "decontam_ngram_overlap": SQL_DECONTAM_NGRAM_OVERLAP,

@@ -150,6 +150,116 @@ FROM seg
 """
 
 
+def cdc_chunks(docs: DataFrame, *, k: int = 8, boundary_bits: int = 6,
+               min_size: int = 16, text_col: str = "text",
+               id_col: str = "doc_id",
+               hash_family: str = "xxhash64") -> DataFrame:
+    """Content-defined chunking (LBFS/rsync-style): cut after character
+    ``i`` when the 60-bit hash of the k-gram ending at ``i`` is ≡ 0 mod
+    ``2^boundary_bits`` (expected chunk ≈ ``2^boundary_bits`` chars) and
+    the current chunk already has ``min_size`` chars. Boundaries depend
+    only on LOCAL content, so an insertion near the start of a document
+    re-chunks O(1) chunks instead of shifting every fixed-size window —
+    the property that makes CDC the standard unit for storage-level dedup
+    of crawl snapshots. No max-size clamp (a max makes eligibility
+    stateful in a way the oracle's candidate-fold can't replay; oversized
+    chunks can be re-cut downstream with :func:`chunk_documents`).
+
+    One aggregate fold per document, every array in ARGUMENT position
+    (CLAUDE.md CollapseProject rule), zero shuffle. Returns
+    ``(id_col, chunk_idx, n_chars, chunk_md5)``.
+    """
+    if k < 2 or boundary_bits < 1 or min_size < 1:
+        raise ValueError(f"bad {k=} {boundary_bits=} {min_size=}")
+    from ..functions import phash
+    mod = 1 << boundary_bits
+
+    def hash_fn(s: Column) -> Column:
+        if hash_family == "md5":
+            return phash.phash60(s)
+        if hash_family == "xxhash64":
+            return F.xxhash64(s).bitwiseAND(F.lit((1 << 60) - 1))
+        raise ValueError(f"unknown hash family {hash_family!r}")
+
+    empty_s = F.array().cast("array<string>")
+    init = F.struct(empty_s.alias("cb"), F.lit("").alias("cur"),
+                    empty_s.alias("chunks"))
+
+    def merge(acc: Column, ch: Column) -> Column:
+        cur = F.concat(acc["cur"], ch)
+        cb0 = F.concat(acc["cb"], F.array(ch))
+        cb = F.when(F.size(cb0) > k, F.slice(cb0, 2, k)).otherwise(cb0)
+        cut = (F.size(cb) == k) \
+            & (F.pmod(hash_fn(F.concat_ws("", cb)), F.lit(mod)) == 0) \
+            & (F.length(cur) >= min_size)
+        return F.struct(
+            cb.alias("cb"),
+            F.when(cut, F.lit("")).otherwise(cur).alias("cur"),
+            F.when(cut, F.concat(acc["chunks"], F.array(cur)))
+             .otherwise(acc["chunks"]).alias("chunks"))
+
+    chars = F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
+    fps = F.aggregate(
+        chars, init, merge,
+        lambda acc: F.when(F.length(acc["cur"]) > 0,
+                           F.concat(acc["chunks"], F.array(acc["cur"])))
+                     .otherwise(acc["chunks"]))
+    return (docs
+            .select(F.col(id_col), fps.alias("_chunks"))
+            .select(F.col(id_col),
+                    F.posexplode("_chunks").alias("chunk_idx", "_c"))
+            .select(id_col,
+                    F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                    F.length("_c").cast("long").alias("n_chars"),
+                    F.md5("_c").alias("chunk_md5")))
+
+
+def sql_cdc_chunks(rel: str = "documents", *, k: int = 8,
+                   boundary_bits: int = 6, min_size: int = 16,
+                   text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB oracle twin of :func:`cdc_chunks` (md5 family): candidate
+    cut positions by the same k-gram hash rule, then a min-size-respecting
+    accept fold via ``list_reduce`` (no-init engine → ``list_prepend`` a
+    zero sentinel, the CLAUDE.md idiom)."""
+    mod = 1 << boundary_bits
+    return rf"""
+WITH d AS (SELECT {id_col}, {text_col} AS t, len({text_col}) AS n
+           FROM {rel} WHERE len({text_col}) > 0),
+cand AS (
+  SELECT {id_col}, t, n,
+         list_filter(range({k}, n + 1),
+           i -> ('0x' || substr(md5(substr(t, i - {k} + 1, {k})), 1, 15))
+                  ::BIGINT % {mod} = 0) AS cands
+  FROM d),
+acc AS (
+  SELECT {id_col}, t, n,
+         list_reduce(
+           list_prepend({{'last': CAST(0 AS BIGINT), 'bounds': []::BIGINT[]}},
+             list_transform(cands,
+               p -> {{'last': p, 'bounds': []::BIGINT[]}})),
+           (a, x) -> CASE WHEN x.last - a.last >= {min_size}
+                          THEN {{'last': x.last,
+                                 'bounds': list_append(a.bounds, x.last)}}
+                          ELSE a END) AS r
+  FROM cand),
+fb AS (
+  SELECT {id_col}, t,
+         CASE WHEN len(r.bounds) = 0 OR r.bounds[-1] <> n
+              THEN list_append(r.bounds, n) ELSE r.bounds END AS bounds
+  FROM acc),
+seg AS (
+  SELECT {id_col}, t, bounds, unnest(range(1, len(bounds) + 1)) AS j
+  FROM fb)
+SELECT {id_col}, (j - 1)::BIGINT AS chunk_idx,
+       (bounds[j] - CASE WHEN j = 1 THEN 0 ELSE bounds[j - 1] END)::BIGINT
+         AS n_chars,
+       md5(substr(t, CASE WHEN j = 1 THEN 0 ELSE bounds[j - 1] END + 1,
+                  bounds[j] - CASE WHEN j = 1 THEN 0 ELSE bounds[j - 1] END))
+         AS chunk_md5
+FROM seg
+"""
+
+
 def sql_chunk_documents(table: str = "documents", *, size: int = 16,
                         overlap: int = 4, text_col: str = "text",
                         id_col: str = "doc_id") -> str:
