@@ -52,6 +52,32 @@ def test_winnow_rejects_bad_params(spark):
         winnow_fingerprints(_docs(spark, [(1, "x")]), k=1, w=4)
 
 
+def test_winnow_barrier_equals_fold(spark):
+    """The Generate-barrier plan and the single-fold reference compute the
+    same fingerprint sets (incl. short-doc edges where sequence(1,0)
+    would descend without the seq1 guard)."""
+    from csvw_rdf_convertor_spark.ops.winnow import winnow_fingerprints_fold
+    docs = _docs(spark, [
+        (1, "The quick brown Fox   jumps over the lazy dog repeatedly"),
+        (2, "short"),                    # < k: no kgrams at all
+        (3, "abcdefgh"),                 # exactly k, < k+w-1: no window
+        (4, "x y " * 30),
+    ])
+    a = sorted(map(tuple, winnow_fingerprints(docs, k=8, w=4).collect()))
+    b = sorted(map(tuple, winnow_fingerprints_fold(docs, k=8, w=4).collect()))
+    assert a == b and a
+
+
+def test_winnow_and_cdc_plans_are_narrow(spark):
+    """Both folds must stay scan→project→generate: zero Exchanges."""
+    from csvw_rdf_convertor_spark.ops.chunk import cdc_chunks
+    docs = _docs(spark, [(1, "some text for the plan test here")])
+    for df in (winnow_fingerprints(docs, k=6, w=3),
+               cdc_chunks(docs, k=6, boundary_bits=4, min_size=4)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 def test_ngrams_fold_equals_word_ngrams(spark):
     """The fold form and the positional-get form are the same function."""
     df = spark.createDataFrame(

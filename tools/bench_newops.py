@@ -35,9 +35,13 @@ def queries(spark, sf_dir: str, cpus: int):
 
     from csvw_rdf_convertor_spark.ops import dedup, decontam
     from csvw_rdf_convertor_spark.ops import text as text_ops
-    from csvw_rdf_convertor_spark.ops.chunk import (chunk_documents,
+    from csvw_rdf_convertor_spark.ops.chunk import (cdc_chunks,
+                                                    chunk_documents,
                                                     pack_sequences)
     from csvw_rdf_convertor_spark.ops.kmeans import kmeans_quantized
+    from csvw_rdf_convertor_spark.ops.sample import bottom_k_sample
+    from csvw_rdf_convertor_spark.ops.sketch import theta_distinct
+    from csvw_rdf_convertor_spark.ops.winnow import winnow_fingerprints
 
     def rp(name):
         return (spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -65,6 +69,14 @@ def queries(spark, sf_dir: str, cpus: int):
             dedup.minhash_near_duplicates(docs, threshold=0.6,
                                           hash_family="xxhash64")),
         "kmeans_quantized_k8": lambda: kmeans_quantized(emb, k=8, n_iter=2),
+        "text_cdc_chunks": lambda: cdc_chunks(
+            docs, k=8, boundary_bits=6, min_size=16),
+        "winnow_fingerprints": lambda: winnow_fingerprints(docs, k=8, w=4),
+        "sketch_theta_distinct": lambda: theta_distinct(
+            docs.select(F.explode(text_ops.tokens_ws(F.col("text")))
+                        .alias("term")).where(F.col("term") != ""),
+            "term", b=4),
+        "sample_bottom_k": lambda: bottom_k_sample(docs, 1000, "bk"),
     }
 
 
