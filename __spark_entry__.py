@@ -1175,6 +1175,54 @@ SQL_TEXT_CDC_CHUNKS = chunk_ops.sql_cdc_chunks(
     "documents", k=8, boundary_bits=6, min_size=16)
 
 
+def q_text_gopher_filter(spark, sf_dir):
+    """Gopher-style quality filter DECISION (ops/text.gopher_filter):
+    per-reject-reason counts, assignments pinned via sum(doc_id); every
+    threshold an integer cross-multiplication."""
+    docs = _p(spark, sf_dir, "documents")
+    return (text_ops.gopher_filter(docs)
+            .groupBy(F.coalesce(F.col("reject_reason"), F.lit("kept"))
+                     .alias("reason"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("sum_id")))
+
+
+_GOPHER_STOP_RE = r"(?i)\b(" + "|".join(text_ops.STOPWORDS_EN) + r")\b"
+SQL_TEXT_GOPHER_FILTER = rf"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS nt,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+           AS np,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+         len(regexp_extract_all(text, '{_GOPHER_STOP_RE}')) AS ns,
+         len(g) AS go, len(list_distinct(g)) AS gd
+  FROM (SELECT doc_id, text,
+               list_transform(
+                 range(0, greatest(len(list_filter(
+                   string_split_regex(trim(text), '\s+'), t -> t <> '')) - 2,
+                   0)),
+                 i -> array_to_string(list_filter(
+                   string_split_regex(trim(text), '\s+'), t -> t <> '')
+                   [i + 1 : i + 3], ' ')) AS g
+        FROM documents)),
+r AS (
+  SELECT doc_id, CASE
+    WHEN nt < 20 OR nt > 100000 THEN 'n_tokens'
+    WHEN nc < 3 * nt OR nc > 12 * nt THEN 'word_len'
+    WHEN np * 100 > 20 * nc THEN 'punct'
+    WHEN nd * 100 > 15 * nc THEN 'digit'
+    WHEN ns < 2 THEN 'stopwords'
+    WHEN (go - gd) * 10 > 3 * go THEN 'repetition'
+    ELSE 'kept' END AS reason
+  FROM f)
+SELECT reason, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM r GROUP BY reason
+"""
+
+
 def q_text_tfidf_topk(spark, sf_dir):
     """Top-3 characteristic terms per document by the integer-exact
     tf-idf-style score (ops/text.tf_idf_top_terms; see its docstring for
@@ -2159,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cdc_chunks": q_text_cdc_chunks,
         "text_pack_sequences": q_text_pack_sequences,
         "text_tfidf_topk": q_text_tfidf_topk,
+        "text_gopher_filter": q_text_gopher_filter,
         "decontam_ngram_overlap": q_decontam_ngram_overlap,
         "decontam_source_overlap": q_decontam_source_overlap,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2234,6 +2283,7 @@ def oracle_sql() -> dict[str, str]:
         "text_cdc_chunks": SQL_TEXT_CDC_CHUNKS,
         "text_pack_sequences": SQL_TEXT_PACK_SEQUENCES,
         "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,
+        "text_gopher_filter": SQL_TEXT_GOPHER_FILTER,
         "decontam_ngram_overlap": SQL_DECONTAM_NGRAM_OVERLAP,
         "decontam_source_overlap": SQL_DECONTAM_SOURCE_OVERLAP,
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,

@@ -267,6 +267,56 @@ def top_terms(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
             .orderBy(F.desc("n"), F.asc("term")).limit(k))
 
 
+def gopher_filter(docs: DataFrame, *, text_col: str = "text",
+                  min_tokens: int = 20, max_tokens: int = 100_000,
+                  ) -> DataFrame:
+    """The Gopher-style quality DECISION (not just the features): adds a
+    ``reject_reason`` column — null means kept; otherwise the FIRST failing
+    rule in documented order:
+
+      n_tokens   outside [min_tokens, max_tokens]
+      word_len   mean chars/token outside [3, 12]
+      punct      punctuation > 20% of characters
+      digit      digits > 15% of characters
+      stopwords  fewer than 2 English stopword hits
+      repetition duplicate word-3-gram fraction > 30%
+
+    Every threshold compares CROSS-MULTIPLIED INTEGER counts
+    (``n_punct·100 > 20·n_chars``), never a float ratio — ratio floats are
+    IEEE-identical cross-engine but integer compares make that a
+    non-question at the exact boundary. One narrow projection, zero
+    shuffle; counts staged as real columns so the CASE reads attributes.
+    """
+    t = F.col(text_col)
+    toks = tokens_ws(t)
+    grams = ngrams_fold(F.filter(toks, lambda x: x != ""), 3)
+    stop_re = r"(?i)\b(" + "|".join(STOPWORDS_EN) + r")\b"
+    staged = docs.select(
+        "*",
+        F.length(t).cast("long").alias("_nc"),
+        token_count(t).cast("long").alias("_nt"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", "")))
+        .cast("long").alias("_np"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", "")))
+        .cast("long").alias("_nd"),
+        F.size(F.regexp_extract_all(t, F.lit(stop_re), 0))
+        .cast("long").alias("_ns"),
+        F.size(grams).cast("long").alias("_g"),
+        F.size(F.array_distinct(grams)).cast("long").alias("_gd"))
+    reason = (
+        F.when((F.col("_nt") < min_tokens) | (F.col("_nt") > max_tokens),
+               "n_tokens")
+        .when((F.col("_nc") < 3 * F.col("_nt"))
+              | (F.col("_nc") > 12 * F.col("_nt")), "word_len")
+        .when(F.col("_np") * 100 > 20 * F.col("_nc"), "punct")
+        .when(F.col("_nd") * 100 > 15 * F.col("_nc"), "digit")
+        .when(F.col("_ns") < 2, "stopwords")
+        .when((F.col("_g") - F.col("_gd")) * 10 > 3 * F.col("_g"),
+              "repetition"))
+    return (staged.withColumn("reject_reason", reason)
+            .drop("_nc", "_nt", "_np", "_nd", "_ns", "_g", "_gd"))
+
+
 def tf_idf_top_terms(docs: DataFrame, k: int = 3, *, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Top-k characteristic terms per document by an integer-exact

@@ -157,6 +157,33 @@ def test_decontam_hash_families_agree(spark):
     assert a == b and len(a) == 1
 
 
+def test_gopher_filter_rules_and_order(spark):
+    from csvw_rdf_convertor_spark.ops.text import gopher_filter
+    good = ("the cat sat on a mat and it was that kind of day for "
+            "everyone in town while many other people walked past the "
+            "old market buying bread cheese fruit and wine before noon "
+            "because that is what a quiet town does on market day")
+    docs = _docs(spark, [
+        (1, good),                                   # kept
+        (2, "too short"),                            # n_tokens
+        (3, "the of " + "a " * 40),                  # word_len (mean < 3)
+        (4, ("the!!! of??? and... " + "it#$% is&*( that)(* " * 8)),  # punct
+        (5, "the of 99 111 222 333 444 555 666 777 888 999 000 111 "
+            "222 333 444 555 666 777"),              # digit
+        (6, " ".join(f"zz{chr(97 + i)} yy{chr(97 + i)} xx{chr(97 + i)}"
+                     for i in range(10))),           # stopwords
+        (7, "the big cat and the big cat and " * 10),  # repetition
+    ])
+    got = {r.doc_id: r.reject_reason for r in gopher_filter(docs).collect()}
+    assert got[1] is None
+    assert got[2] == "n_tokens"
+    assert got[3] == "word_len"
+    assert got[4] == "punct"
+    assert got[5] == "digit"
+    assert got[6] == "stopwords"
+    assert got[7] == "repetition"
+
+
 def test_tfidf_ranks_rare_terms_first(spark):
     docs = _docs(spark, [
         (1, "common rare1 common"),
