@@ -1247,6 +1247,19 @@ SELECT doc_id, term, tf, df, score_ppm FROM r WHERE rn <= 3
 """
 
 
+def q_winnow_near_dup(spark, sf_dir):
+    """Winnowing-based near-dup pairs (ops/winnow.winnow_near_duplicates):
+    ≥20 shared selected fingerprints, hub fingerprints (df > 50) dropped
+    before the pair join — the MOSS similarity decision."""
+    docs = _p(spark, sf_dir, "documents")
+    return winnow_ops.winnow_near_duplicates(
+        docs, k=8, w=4, min_shared=20, max_df=50, hash_family="md5")
+
+
+SQL_WINNOW_NEAR_DUP = winnow_ops.sql_winnow_near_duplicates(
+    "documents", k=8, w=4, min_shared=20, max_df=50)
+
+
 def q_text_length_quantiles(spark, sf_dir):
     """Exact per-language token-length quantiles (p50/p90/p99) with
     integer-rational rank math — ops/text.group_quantiles."""
@@ -2211,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_ngram_overlap": q_decontam_ngram_overlap,
         "decontam_source_overlap": q_decontam_source_overlap,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_near_dup": q_winnow_near_dup,
         "text_length_quantiles": q_text_length_quantiles,
         "kmeans_quantized": q_kmeans_quantized,
         "sample_hash_split": q_sample_hash_split,
@@ -2287,6 +2301,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_ngram_overlap": SQL_DECONTAM_NGRAM_OVERLAP,
         "decontam_source_overlap": SQL_DECONTAM_SOURCE_OVERLAP,
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+        "winnow_near_dup": SQL_WINNOW_NEAR_DUP,
         "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,
         "kmeans_quantized": SQL_KMEANS_QUANTIZED,
         "sample_hash_split": SQL_SAMPLE_HASH_SPLIT,

@@ -120,6 +120,71 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = K_DEFAULT,
             .select(id_col, F.explode("_fps").alias("fp")))
 
 
+def winnow_near_duplicates(docs: DataFrame, *, k: int = K_DEFAULT,
+                           w: int = W_DEFAULT, min_shared: int = 3,
+                           max_df: int = 100, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           hash_family: str = "xxhash64") -> DataFrame:
+    """The dedup DECISION on top of winnowing: pairs of documents sharing
+    ≥ ``min_shared`` selected fingerprints, with
+    ``overlap_ppm = n_shared·10⁶ div min(|fps_a|, |fps_b|)``.
+
+    Scale posture: fingerprints with document frequency > ``max_df`` are
+    dropped BEFORE the pair join — boilerplate fingerprints otherwise
+    fan out quadratically (the same hub-token trade MOSS and PPJoin make;
+    a recall trade, documented, not silent). The join keys on the uniform
+    60-bit fingerprint; pair aggregation is an algebraic count on the
+    (id_a, id_b) key. Returns
+    ``(id_a, id_b, n_shared, n_a, n_b, overlap_ppm)``.
+    """
+    fps = winnow_fingerprints(docs, k=k, w=w, text_col=text_col,
+                              id_col=id_col, hash_family=hash_family)
+    rare = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df).select("fp"))
+    kept = fps.join(rare, "fp", "left_semi")
+    sizes = kept.groupBy(id_col).agg(F.count("*").alias("n_fps"))
+    a = kept.select(F.col(id_col).alias("id_a"), "fp")
+    b = kept.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (a.join(b, "fp")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_shared"))
+             .where(F.col("n_shared") >= min_shared))
+    return (pairs
+            .join(sizes.select(F.col(id_col).alias("id_a"),
+                               F.col("n_fps").alias("n_a")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"),
+                               F.col("n_fps").alias("n_b")), "id_b")
+            .select("id_a", "id_b", "n_shared", "n_a", "n_b",
+                    F.expr("n_shared * 1000000 div least(n_a, n_b)")
+                    .alias("overlap_ppm")))
+
+
+def sql_winnow_near_duplicates(rel: str = "documents", *,
+                               k: int = K_DEFAULT, w: int = W_DEFAULT,
+                               min_shared: int = 3, max_df: int = 100,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> str:
+    """DuckDB oracle twin of :func:`winnow_near_duplicates` (md5)."""
+    fps_sql = sql_winnow_fingerprints(rel, k=k, w=w, text_col=text_col,
+                                      id_col=id_col)
+    return rf"""
+WITH fps AS MATERIALIZED ({fps_sql}),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {max_df}),
+kept AS (SELECT * FROM fps WHERE fp IN (SELECT fp FROM rare)),
+sizes AS (SELECT {id_col}, COUNT(*) AS n_fps FROM kept GROUP BY {id_col}),
+p AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.{id_col} < b.{id_col}
+  GROUP BY a.{id_col}, b.{id_col}
+  HAVING COUNT(*) >= {min_shared})
+SELECT id_a, id_b, n_shared, sa.n_fps AS n_a, sb.n_fps AS n_b,
+       n_shared * 1000000 // least(sa.n_fps, sb.n_fps) AS overlap_ppm
+FROM p JOIN sizes sa ON sa.{id_col} = id_a
+       JOIN sizes sb ON sb.{id_col} = id_b
+"""
+
+
 def winnow_fingerprints_fold(docs: DataFrame, *, k: int = K_DEFAULT,
                              w: int = W_DEFAULT, text_col: str = "text",
                              id_col: str = "doc_id",

@@ -52,6 +52,37 @@ def test_winnow_rejects_bad_params(spark):
         winnow_fingerprints(_docs(spark, [(1, "x")]), k=1, w=4)
 
 
+def test_winnow_near_duplicates_pairs(spark):
+    from csvw_rdf_convertor_spark.ops.winnow import winnow_near_duplicates
+    shared = "the common boilerplate passage that both documents contain"
+    docs = _docs(spark, [
+        (1, shared + " plus extra tail one two three"),
+        (2, shared + " with different ending here now"),
+        (3, "completely unrelated text about other topics entirely"),
+    ])
+    out = winnow_near_duplicates(docs, k=8, w=4, min_shared=2, max_df=10)
+    rows = {(r.id_a, r.id_b): r for r in out.collect()}
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r.n_shared >= 2 and 0 < r.overlap_ppm <= 1_000_000
+    assert not any(3 in p for p in rows)
+
+
+def test_winnow_near_duplicates_hub_cap(spark):
+    """A fingerprint present in EVERY doc must not create pairs when
+    max_df is below the corpus size."""
+    from csvw_rdf_convertor_spark.ops.winnow import winnow_near_duplicates
+    boiler = "identical boilerplate appears everywhere in this corpus"
+    docs = _docs(spark, [(i, boiler + f" unique tail {i} " +
+                          " ".join(f"t{i}{j}" for j in range(10)))
+                         for i in range(6)])
+    capped = winnow_near_duplicates(docs, k=8, w=4, min_shared=1, max_df=2)
+    uncapped = winnow_near_duplicates(docs, k=8, w=4, min_shared=1,
+                                      max_df=100)
+    assert capped.count() == 0
+    assert uncapped.count() == 15  # all C(6,2) pairs share the boilerplate
+
+
 def test_winnow_barrier_equals_fold(spark):
     """The Generate-barrier plan and the single-fold reference compute the
     same fingerprint sets (incl. short-doc edges where sequence(1,0)
