@@ -1423,6 +1423,45 @@ LIMIT 25
 """
 
 
+#: snapshot-diff gate: "new" = documents with every 10th text perturbed,
+#: every 25th dropped, and 20 fresh ids appended — deterministic in both
+#: engines
+_SNAP_NEW_SQL = """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' [edited]' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 25 <> 7
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         'fresh doc ' || CAST(doc_id + 2000000 AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 25 = 0)"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Incremental-crawl delta (ops/snapshot.snapshot_diff): old = the
+    documents table, new = deterministic perturbation (edits, deletions,
+    additions); one id-keyed digest join."""
+    from csvw_rdf_convertor_spark.ops.snapshot import snapshot_diff
+    docs = _p(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (docs.where(F.col("doc_id") % 25 != 7)
+           .withColumn("text", F.when(F.col("doc_id") % 10 == 3,
+                                      F.concat(F.col("text"),
+                                               F.lit(" [edited]")))
+                       .otherwise(F.col("text")))
+           .unionByName(
+               docs.where(F.col("doc_id") % 25 == 0)
+               .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                       F.concat(F.lit("fresh doc "),
+                                (F.col("doc_id") + 2_000_000)
+                                .cast("string")).alias("text"))))
+    return snapshot_diff(docs, new)
+
+
+from csvw_rdf_convertor_spark.ops.snapshot import sql_snapshot_diff
+
+SQL_SNAPSHOT_DIFF = sql_snapshot_diff("documents", _SNAP_NEW_SQL)
+
+
 def q_sample_mixture_rates(spark, sf_dir):
     """Downsampling rates toward a uniform language mixture
     (ops/sample.mixture_rates): the binding stratum keeps rate 1e6 ppm,
@@ -2231,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_bottom_k": q_sample_bottom_k,
         "sample_mixture_rates": q_sample_mixture_rates,
+        "snapshot_diff": q_snapshot_diff,
         "sketch_theta_distinct": q_sketch_theta_distinct,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_lsh_topk": q_sim_lsh_topk,
@@ -2308,6 +2348,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "sample_bottom_k": SQL_SAMPLE_BOTTOM_K,
         "sample_mixture_rates": SQL_SAMPLE_MIXTURE_RATES,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "sketch_theta_distinct": SQL_SKETCH_THETA_DISTINCT,
         "sim_topk_bruteforce": SQL_SIM_TOPK,
         "sim_lsh_topk": SQL_SIM_LSH_TOPK,

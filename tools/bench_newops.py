@@ -41,7 +41,9 @@ def queries(spark, sf_dir: str, cpus: int):
     from csvw_rdf_convertor_spark.ops.kmeans import kmeans_quantized
     from csvw_rdf_convertor_spark.ops.sample import bottom_k_sample
     from csvw_rdf_convertor_spark.ops.sketch import theta_distinct
-    from csvw_rdf_convertor_spark.ops.winnow import winnow_fingerprints
+    from csvw_rdf_convertor_spark.ops.snapshot import snapshot_diff
+    from csvw_rdf_convertor_spark.ops.winnow import (winnow_fingerprints,
+                                                     winnow_near_duplicates)
 
     def rp(name):
         return (spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -77,6 +79,12 @@ def queries(spark, sf_dir: str, cpus: int):
                         .alias("term")).where(F.col("term") != ""),
             "term", b=4),
         "sample_bottom_k": lambda: bottom_k_sample(docs, 1000, "bk"),
+        "text_gopher_filter": lambda: text_ops.gopher_filter(docs),
+        "winnow_near_dup": lambda: winnow_near_duplicates(
+            docs, k=8, w=4, min_shared=20, max_df=50),
+        "snapshot_diff": lambda: snapshot_diff(
+            docs.select("doc_id", "text"),
+            docs.select("doc_id", "text").where(F.col("doc_id") % 25 != 7)),
     }
 
 
