@@ -1423,6 +1423,31 @@ LIMIT 25
 """
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (ops/events.session_stats): per-user
+    30-minute-gap sessions with integer-microsecond rollups."""
+    from csvw_rdf_convertor_spark.ops import events as events_ops
+    ev = _p(spark, sf_dir, "events")
+    return events_ops.session_stats(ev, gap_minutes=30)
+
+
+def q_events_funnel(spark, sf_dir):
+    """Strictly-ordered earliest-match funnel view→click→purchase
+    (ops/events.funnel): per-user steps_completed."""
+    from csvw_rdf_convertor_spark.ops import events as events_ops
+    ev = _p(spark, sf_dir, "events")
+    return events_ops.funnel(ev, ["view", "click", "purchase"])
+
+
+def _events_sql():
+    from csvw_rdf_convertor_spark.ops import events as events_ops
+    return (events_ops.sql_session_stats("events", gap_minutes=30),
+            events_ops.sql_funnel("events", ["view", "click", "purchase"]))
+
+
+SQL_EVENTS_SESSIONIZE, SQL_EVENTS_FUNNEL = _events_sql()
+
+
 #: snapshot-diff gate: "new" = documents with every 10th text perturbed,
 #: every 25th dropped, and 20 fresh ids appended — deterministic in both
 #: engines
@@ -2276,6 +2301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "events_asof_join": q_events_asof_join,
+        "events_sessionize": q_events_sessionize,
+        "events_funnel": q_events_funnel,
         "emb_near_dup_blocked": q_emb_near_dup_blocked,
         "kg_mention_stats": q_kg_mention_stats,
         "cc_components": q_cc_components,
@@ -2354,6 +2381,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_lsh_topk": SQL_SIM_LSH_TOPK,
         "sim_ivf_topk": SQL_SIM_IVF_TOPK,
         "events_asof_join": SQL_EVENTS_ASOF,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "events_funnel": SQL_EVENTS_FUNNEL,
         "emb_near_dup_blocked": SQL_EMB_NEAR_DUP,
         "kg_mention_stats": SQL_MENTION_STATS,
         "cc_components": SQL_CC_COMPONENTS,
