@@ -1439,13 +1439,22 @@ def q_events_funnel(spark, sf_dir):
     return events_ops.funnel(ev, ["view", "click", "purchase"])
 
 
+def q_events_retention(spark, sf_dir):
+    """Weekly retention triangle (ops/events.retention_cohorts): cohort by
+    first-event week, distinct active users per week offset."""
+    from csvw_rdf_convertor_spark.ops import events as events_ops
+    ev = _p(spark, sf_dir, "events")
+    return events_ops.retention_cohorts(ev)
+
+
 def _events_sql():
     from csvw_rdf_convertor_spark.ops import events as events_ops
     return (events_ops.sql_session_stats("events", gap_minutes=30),
-            events_ops.sql_funnel("events", ["view", "click", "purchase"]))
+            events_ops.sql_funnel("events", ["view", "click", "purchase"]),
+            events_ops.sql_retention_cohorts("events"))
 
 
-SQL_EVENTS_SESSIONIZE, SQL_EVENTS_FUNNEL = _events_sql()
+SQL_EVENTS_SESSIONIZE, SQL_EVENTS_FUNNEL, SQL_EVENTS_RETENTION = _events_sql()
 
 
 #: snapshot-diff gate: "new" = documents with every 10th text perturbed,
@@ -2303,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_sessionize": q_events_sessionize,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "emb_near_dup_blocked": q_emb_near_dup_blocked,
         "kg_mention_stats": q_kg_mention_stats,
         "cc_components": q_cc_components,
@@ -2383,6 +2393,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": SQL_EVENTS_ASOF,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_funnel": SQL_EVENTS_FUNNEL,
+        "events_retention": SQL_EVENTS_RETENTION,
         "emb_near_dup_blocked": SQL_EMB_NEAR_DUP,
         "kg_mention_stats": SQL_MENTION_STATS,
         "cc_components": SQL_CC_COMPONENTS,

@@ -98,6 +98,49 @@ def funnel(events: DataFrame, steps: list[str], *,
     return out.select(user_col, "steps_completed")
 
 
+#: microseconds per week (cohort bucketing is integer division on epoch_us)
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def retention_cohorts(events: DataFrame, *, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Weekly retention triangle: users bucketed by FIRST-event week
+    (cohort), counted per week-offset they were active in.
+
+    ``(cohort_week, week_offset, n_users)`` — week = epoch_us div one
+    week (integer, engine-exact; no calendar/timezone functions, the
+    pinned-UTC equivalent of date_trunc('week') without its locale
+    pitfalls). Two algebraic shuffles: per-user min (cohort) and the
+    (cohort, offset) distinct-count — both on uniform keys.
+    """
+    weeks = (events.select(F.col(user_col),
+                           F.expr(f"unix_micros(cast({ts_col} as timestamp))"
+                                  f" div {_WEEK_US}").alias("_wk")))
+    first = weeks.groupBy(user_col).agg(F.min("_wk").alias("cohort_week"))
+    return (weeks.join(first, user_col)
+            .select(user_col, "cohort_week",
+                    (F.col("_wk") - F.col("cohort_week"))
+                    .alias("week_offset"))
+            .distinct()
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count("*").alias("n_users")))
+
+
+def sql_retention_cohorts(rel: str = "events", *, user_col: str = "user_id",
+                          ts_col: str = "ts") -> str:
+    """DuckDB oracle twin of :func:`retention_cohorts`."""
+    return rf"""
+WITH w AS (SELECT {user_col},
+                  epoch_us({ts_col}) // {_WEEK_US} AS wk FROM {rel}),
+f AS (SELECT {user_col}, MIN(wk) AS cohort_week FROM w GROUP BY {user_col}),
+a AS (SELECT DISTINCT w.{user_col}, f.cohort_week,
+             w.wk - f.cohort_week AS week_offset
+      FROM w JOIN f USING ({user_col}))
+SELECT cohort_week, week_offset, COUNT(*) AS n_users
+FROM a GROUP BY cohort_week, week_offset
+"""
+
+
 def sql_session_stats(rel: str = "events", *, gap_minutes: int = 30,
                       user_col: str = "user_id", ts_col: str = "ts",
                       order_col: str = "event_id") -> str:

@@ -59,6 +59,27 @@ def test_funnel_strict_ordering(spark):
     assert got == {1: 3, 2: 2, 4: 1}
 
 
+def test_retention_cohorts_triangle(spark):
+    from csvw_rdf_convertor_spark.ops.events import retention_cohorts
+    wk = dt.timedelta(days=7)
+    rows = [
+        # user 1: weeks 0, 1, 1 (dedup), 3
+        (0, T0, 1), (1, T0 + wk, 1), (2, T0 + wk + dt.timedelta(hours=1), 1),
+        (3, T0 + 3 * wk, 1),
+        # user 2: first seen week 1, active week 1 only
+        (4, T0 + wk + dt.timedelta(days=1), 2),
+    ]
+    ev = spark.createDataFrame(
+        [(i, t, u, "view") for (i, t, u) in rows], SCHEMA)
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in retention_cohorts(ev).collect()}
+    c1 = min(k[0] for k in got)  # user 1's cohort week
+    assert got[(c1, 0)] == 1 and got[(c1, 1)] >= 1 and got[(c1, 3)] == 1
+    # user 2's cohort has exactly one (offset 0) cell
+    c2 = [k[0] for k in got if k[0] != c1]
+    assert all(k[1] == 0 for k in got if k[0] in c2)
+
+
 def test_funnel_rejects_empty(spark):
     with pytest.raises(ValueError):
         funnel(_ev(spark, [(0, 1, "view")]), [])
