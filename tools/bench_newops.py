@@ -41,6 +41,7 @@ def queries(spark, sf_dir: str, cpus: int):
     from csvw_rdf_convertor_spark.ops.kmeans import kmeans_quantized
     from csvw_rdf_convertor_spark.ops.sample import bottom_k_sample
     from csvw_rdf_convertor_spark.ops.sketch import theta_distinct
+    from csvw_rdf_convertor_spark.ops import events as events_ops
     from csvw_rdf_convertor_spark.ops.snapshot import snapshot_diff
     from csvw_rdf_convertor_spark.ops.winnow import (winnow_fingerprints,
                                                      winnow_near_duplicates)
@@ -85,6 +86,12 @@ def queries(spark, sf_dir: str, cpus: int):
         "snapshot_diff": lambda: snapshot_diff(
             docs.select("doc_id", "text"),
             docs.select("doc_id", "text").where(F.col("doc_id") % 25 != 7)),
+        "events_sessionize": lambda: events_ops.session_stats(
+            rp("events"), gap_minutes=30),
+        "events_funnel": lambda: events_ops.funnel(
+            rp("events"), ["view", "click", "purchase"]),
+        "events_retention": lambda: events_ops.retention_cohorts(
+            rp("events")),
     }
 
 
