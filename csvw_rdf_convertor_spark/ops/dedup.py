@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .minhash import (jaccard, lsh_bands, shingle_pairs,
-                      signature_from_pairs, word_shingles)
+                      signature_from_pairs, with_word_shingles)
 
 # --- exact dedup ---------------------------------------------------------------
 
@@ -86,13 +86,13 @@ def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
     (equivalence property tested in tests/test_hash_family.py).
     """
     rows_per_band = n_perm // n_bands
-    # null text is the ONLY way to an empty shingle array (split("") = [""]),
-    # so the guard is a cheap scan-pushable IsNotNull instead of a
-    # size(sh) > 0 that forces a second shingle evaluation inside the
-    # pushed-down filter
-    base = (docs.where(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("id"),
-                    word_shingles(F.col(text_col), shingle_words).alias("sh"))
+    # shingles arrive as a LEAF column (Generate-barrier staged) so the
+    # signature fold and the verify join read an attribute instead of
+    # re-evaluating the split per shingle position (with_word_shingles
+    # docstring; measured 4× on the signature stage)
+    base = (with_word_shingles(
+                docs.select(F.col(id_col).alias("id"), F.col(text_col)),
+                ["id"], text_col=text_col, n=shingle_words)
             .withColumn("pr", shingle_pairs(F.col("sh"), hash_family))
             .withColumn("sig", signature_from_pairs(F.col("pr"), n_perm))
             .drop("pr"))
@@ -106,9 +106,9 @@ def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
             .dropDuplicates(["id_a", "id_b"]))
 
     # shingle lookup comes straight off the source (no signature recompute)
-    sh_tbl = (docs.where(F.col(text_col).isNotNull())
-              .select(F.col(id_col).alias("id"),
-                      word_shingles(F.col(text_col), shingle_words).alias("sh")))
+    sh_tbl = with_word_shingles(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col)),
+        ["id"], text_col=text_col, n=shingle_words)
     pairs = (cand
              .join(sh_tbl.select(F.col("id").alias("id_a"),
                                  F.col("sh").alias("sh_a")), "id_a")
@@ -136,10 +136,10 @@ def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
     The exchange carries (token, id) only; the exact Jaccard verify joins
     shingle sets back on the uniform id key, like the MinHash verify.
     """
-    from .minhash import jaccard, word_shingles
-    base = (docs.where(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("id"),
-                    word_shingles(F.col(text_col), shingle_words).alias("sh"))
+    from .minhash import jaccard, with_word_shingles
+    base = (with_word_shingles(
+                docs.select(F.col(id_col).alias("id"), F.col(text_col)),
+                ["id"], text_col=text_col, n=shingle_words)
             .where(F.size("sh") > 0))
     if hash_family == "md5":
         keyed = F.array_sort(F.transform(F.col("sh"), F.md5))

@@ -52,12 +52,40 @@ def char_shingles(col: Column, k: int = 3) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (for document-level near-dup)."""
+    """Distinct n-word shingles (for document-level near-dup).
+
+    HOT-PATH WARNING: the token split lives inside this expression's
+    transform lambda, where it re-evaluates once per shingle position at
+    runtime (HOFs are CodegenFallback — no CSE). Fine for short strings
+    and one-off plans; DataFrame pipelines should use
+    :func:`with_word_shingles`, which stages tokens and shingles behind
+    Generate barriers (measured 4× on the sf0.1 signature stage)."""
     words = F.split(F.lower(F.trim(col)), r"\s+")
     cnt = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
     return F.array_distinct(F.transform(
         idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")))
+
+
+def with_word_shingles(df: DataFrame, keep: list[str], *,
+                       text_col: str = "text", n: int = 3,
+                       out: str = "sh") -> DataFrame:
+    """Leaf-staged word shingles: the token array and the shingle array
+    each materialize behind a Generate barrier
+    (``functions/staging.as_leaves``). The Column form
+    (:func:`word_shingles`) carries its ``split`` INSIDE the transform
+    lambda, where it re-evaluates once per shingle position at runtime —
+    HOFs are CodegenFallback, no CSE — measured 4× on the sf0.1 minhash
+    signature stage once everything downstream reads leaf attributes.
+    Rows with null ``text_col`` are dropped (they have no shingles).
+    """
+    from ..functions.staging import as_leaves
+    w = as_leaves(df.where(F.col(text_col).isNotNull()), keep,
+                  _w=F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    idx = F.sequence(F.lit(0), F.greatest(F.size("_w") - n, F.lit(0)))
+    sh = F.array_distinct(F.transform(
+        idx, lambda i: F.array_join(F.slice(F.col("_w"), i + 1, n), " ")))
+    return as_leaves(w, keep, **{out: sh})
 
 
 def shingle_hexes(shingles: Column) -> Column:
