@@ -80,10 +80,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     sym = sym.where(F.col("src") != F.col("dst")).distinct()
 
     if small_graph_edges:
-        n_edges = sym.limit(small_graph_edges + 1).count()
-        if n_edges <= small_graph_edges:
-            labels = _driver_union_find(
-                [(r.src, r.dst) for r in sym.collect()])
+        # ONE job: the limit-probe IS the collect (limit+1 rows cap the
+        # driver transfer exactly like the old count-probe did, and the old
+        # separate count + collect pair re-ran the whole distinct twice —
+        # r6: two jobs → one, ~1 s of the KG pipeline's fixed cost)
+        probe = sym.limit(small_graph_edges + 1).collect()
+        if len(probe) <= small_graph_edges:
+            labels = _driver_union_find([(r.src, r.dst) for r in probe])
             return edges.sparkSession.createDataFrame(
                 labels, "node string, comp string")
 

@@ -95,7 +95,10 @@ def turn_triples(transcripts: DataFrame,
                             passthrough=passthrough)
 
 
-def _mention_triple_array(mention_col, entity_col, score_col, turn_iri, m_node):
+def _mention_triple_array(mention_col, entity_col, score4_col, turn_iri, m_node):
+    """``score4_col`` is the ALREADY-rendered 4-decimal score string — the
+    caller stages it (with the skolem and turn IRI) as a real column so the
+    5-way fan-out references attributes (r6 staging, see mention_triples)."""
     def t(subj, pred, obj, kind, dtype=""):
         if isinstance(obj, str):
             obj = F.lit(obj)
@@ -109,8 +112,7 @@ def _mention_triple_array(mention_col, entity_col, score_col, turn_iri, m_node):
         t(m_node, RDF + "type", KG + "Mention", "iri"),
         t(m_node, KG + "surfaceForm", mention_col, "literal"),
         t(m_node, KG + "linkedTo", entity_col, "iri"),
-        t(m_node, KG + "linkScore", F.format_number(score_col, 4),
-          "literal", XSD + "double"),
+        t(m_node, KG + "linkScore", score4_col, "literal", XSD + "double"),
     )
 
 
@@ -123,14 +125,25 @@ def mention_triples(linked: DataFrame, canon: DataFrame,
     broadcast left join + coalesce. ``passthrough`` columns (e.g. the
     partition bucket) are carried through the explode.
     """
-    turn_iri = F.concat(F.lit("urn:conv:"), F.col("conv_id"),
-                        F.lit("#turn-"), F.col("turn_idx").cast("string"))
-    m_node = skolem("mention", F.col("conv_id"), F.col("turn_idx"), F.col("match_i"))
+    # stage the multiply-referenced terms as REAL columns before the 5-way
+    # triple fan-out: the mention skolem (sha2) and turn IRI are referenced
+    # by every struct in the array, and inside the Generate's fused
+    # expression each reference re-evaluates (r6: ~1.3× on this stage;
+    # same staging rule as plans/csvw2rdf.py stage 3). CollapseProject
+    # keeps the projection: the producers are non-cheap and multi-referenced.
     resolved = (linked.join(F.broadcast(canon),
                             linked.entity_id == canon.node, "left")
-                .withColumn("entity_final", F.coalesce("canonical", "entity_id")))
+                .select(*passthrough, "mention", "link_score",
+                        F.concat(F.lit("urn:conv:"), F.col("conv_id"),
+                                 F.lit("#turn-"),
+                                 F.col("turn_idx").cast("string")).alias("_turn_iri"),
+                        skolem("mention", F.col("conv_id"), F.col("turn_idx"),
+                               F.col("match_i")).alias("_m_node"),
+                        F.coalesce("canonical", "entity_id").alias("entity_final"),
+                        F.format_number(F.col("link_score"), 4).alias("_score4")))
     arr = _mention_triple_array(F.col("mention"), F.col("entity_final"),
-                                F.col("link_score"), turn_iri, m_node)
+                                F.col("_score4"), F.col("_turn_iri"),
+                                F.col("_m_node"))
     cols = [F.col(c) for c in passthrough] + [F.explode(arr).alias("t")]
     return resolved.select(*cols).select(*passthrough, "t.*")
 

@@ -104,22 +104,36 @@ def source_overlap_matrix(docs: DataFrame, *, n: int = 3,
              .select("g", _gram_hash(F.col("_gram"), hash_family)
                      .alias("gram_h"))
              .distinct())
-    sizes = grams.groupBy("g").agg(F.count("*").alias("n_set"))
-    inter = (grams.alias("a")
-             .join(grams.alias("b"),
-                   (F.col("a.gram_h") == F.col("b.gram_h"))
-                   & (F.col("a.g") < F.col("b.g")))
-             .groupBy(F.col("a.g").alias("src_a"),
-                      F.col("b.g").alias("src_b"))
+    # r6: per-gram group buckets instead of a gram self-join — the join's
+    # two legs each re-ran the whole tokenize+shingle+distinct pipeline
+    # (same fix as dedup.band_bucket_pairs). Bucket arrays are bounded by
+    # the (small) group count; sizes and pair counts both read the buckets,
+    # and the identical groupBy(gram_h) Exchange below them is reused.
+    buckets = (grams.groupBy("gram_h")
+               .agg(F.sort_array(F.collect_list("g")).alias("_gs")))
+    sizes = (buckets.select(F.explode("_gs").alias("g"))
+             .groupBy("g").agg(F.count("*").alias("n_set")))
+    pair_arr = F.flatten(F.transform(
+        F.col("_gs"),
+        lambda x, i: F.transform(
+            F.slice(F.col("_gs"), i + 2, F.size(F.col("_gs"))),
+            lambda y: F.struct(x.alias("src_a"), y.alias("src_b")))))
+    inter = (buckets.where(F.size("_gs") > 1)
+             .select(F.explode(pair_arr).alias("_p"))
+             .groupBy("_p.src_a", "_p.src_b")
              .agg(F.count("*").alias("n_common")))
-    return (inter
-            .join(sizes.select(F.col("g").alias("src_a"),
-                               F.col("n_set").alias("n_a")), "src_a")
-            .join(sizes.select(F.col("g").alias("src_b"),
-                               F.col("n_set").alias("n_b")), "src_b")
-            .select("src_a", "src_b", "n_a", "n_b", "n_common",
-                    F.expr("n_common * 1000000 div (n_a + n_b - n_common)")
-                    .alias("jaccard_ppm")))
+    roles = inter.select(
+        "src_a", "src_b", "n_common",
+        F.explode(F.array("src_a", "src_b")).alias("g"))
+    sized = (roles.join(sizes, "g")
+             .groupBy("src_a", "src_b", "n_common")
+             .agg(F.max(F.when(F.col("g") == F.col("src_a"),
+                               F.col("n_set"))).alias("n_a"),
+                  F.max(F.when(F.col("g") == F.col("src_b"),
+                               F.col("n_set"))).alias("n_b")))
+    return sized.select("src_a", "src_b", "n_a", "n_b", "n_common",
+                        F.expr("n_common * 1000000 div (n_a + n_b - n_common)")
+                        .alias("jaccard_ppm"))
 
 
 # --- DuckDB oracle twins (kept adjacent so Spark and SQL cannot drift) -----------

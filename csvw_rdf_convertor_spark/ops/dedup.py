@@ -74,10 +74,19 @@ def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
     key, rows are a handful of bytes) → distinct pair → join the shingle
     sets back on the uniform id key → exact-Jaccard verify.
 
-    The join-back costs two extra uniform-key joins but keeps the 16-way
+    The join-back costs extra uniform-key joins but keeps the 16-way
     band fan-out from duplicating every document's shingle footprint through
     the exchange — at 100 TB that duplication, not the joins, is the
     bottleneck (VERDICT r01 "what's wrong" #3).
+
+    r6 shape: candidates come from ONE pass over the signature pipeline —
+    ``groupBy(band, band_key)`` id buckets emitting each bucket's pairs —
+    instead of a band self-join whose two legs each re-evaluate the whole
+    shingle+hash+signature subtree (Spark reuses no DataFrame subtrees
+    across a self-join; the pipeline ran 2× for the bands and 2× more for
+    the verify lookups — measured 5.0 → ~2.4 s at sf0.1/2 cores). The
+    bucket id-array is bounded by the same per-bucket candidate count the
+    self-join streams through a single task, and carries ids only.
 
     ``hash_family``: 'xxhash64' (production default — native codegen hash)
     or 'md5' (engine-portable; the oracle gate pins this). The output pair
@@ -97,27 +106,60 @@ def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
             .withColumn("sig", signature_from_pairs(F.col("pr"), n_perm))
             .drop("pr"))
     bands = lsh_bands(base, "sig", n_bands, rows_per_band, ["id"], hash_family)
+    cand = band_bucket_pairs(bands, ["band", "band_key"])
 
-    left = bands.select("band", "band_key", F.col("id").alias("id_a"))
-    right = bands.select("band", "band_key", F.col("id").alias("id_b"))
-    cand = (left.join(right, ["band", "band_key"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"]))
-
-    # shingle lookup comes straight off the source (no signature recompute)
+    # shingle lookup comes straight off the source (no signature recompute);
+    # ONE evaluation serves both pair sides via a conditional aggregation
     sh_tbl = with_word_shingles(
         docs.select(F.col(id_col).alias("id"), F.col(text_col)),
         ["id"], text_col=text_col, n=shingle_words)
-    pairs = (cand
-             .join(sh_tbl.select(F.col("id").alias("id_a"),
-                                 F.col("sh").alias("sh_a")), "id_a")
-             .join(sh_tbl.select(F.col("id").alias("id_b"),
-                                 F.col("sh").alias("sh_b")), "id_b")
-             .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
-             .where(F.col("jacc") >= threshold)
-             .select("id_a", "id_b", F.round("jacc", 6).alias("jacc")))
-    return pairs
+    return (verify_pair_arrays(cand, sh_tbl, "sh")
+            .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
+            .where(F.col("jacc") >= threshold)
+            .select("id_a", "id_b", F.round("jacc", 6).alias("jacc")))
+
+
+def band_bucket_pairs(keyed: DataFrame, key_cols: list[str],
+                      id_col: str = "id") -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) of ids sharing a blocking key.
+
+    One aggregation pass instead of a self-join: a self-join's two legs each
+    re-evaluate the full upstream pipeline (Spark shares no subtrees between
+    them), which doubles the most expensive stage of every LSH-blocked
+    operator. The per-bucket id array is sorted for determinism and emits
+    exactly the ``i < j`` pairs the join's ``id_a < id_b`` filter kept; its
+    size is bounded by the bucket's candidate count — the same rows a
+    self-join would stream through one task for that key.
+    """
+    grp = (keyed.groupBy(*key_cols)
+           .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+           .where(F.size("_ids") > 1))
+    pair_arr = F.flatten(F.transform(
+        F.col("_ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (grp.select(F.explode(pair_arr).alias("_p"))
+            .select("_p.id_a", "_p.id_b")
+            .dropDuplicates(["id_a", "id_b"]))
+
+
+def verify_pair_arrays(cand: DataFrame, tbl: DataFrame,
+                       arr_col: str) -> DataFrame:
+    """Attach ``tbl``'s array column to both sides of candidate pairs with a
+    SINGLE evaluation of ``tbl``: explode each pair into its two member ids,
+    join once on the uniform id key, and fold back with a conditional
+    ``max`` (exactly one non-null per side). Returns
+    (id_a, id_b, <arr>_a, <arr>_b). Only candidate pairs' arrays cross the
+    exchange — corpus-scale rows never fan out."""
+    roles = cand.select("id_a", "id_b",
+                        F.explode(F.array("id_a", "id_b")).alias("id"))
+    return (roles.join(tbl.select("id", arr_col), "id")
+            .groupBy("id_a", "id_b")
+            .agg(F.max(F.when(F.col("id") == F.col("id_a"),
+                              F.col(arr_col))).alias(f"{arr_col}_a"),
+                 F.max(F.when(F.col("id") == F.col("id_b"),
+                              F.col(arr_col))).alias(f"{arr_col}_b")))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
@@ -155,17 +197,12 @@ def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
             .withColumn("tok", F.explode(
                 F.slice(keyed, F.lit(1), prefix_len)))
             .select("tok", "id"))
-    cand = (toks.alias("l")
-            .join(toks.alias("r"), "tok")
-            .where(F.col("l.id") < F.col("r.id"))
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
-    sh_tbl = base.select(F.col("id"), F.col("sh"))
-    return (cand
-            .join(sh_tbl.select(F.col("id").alias("id_a"),
-                                F.col("sh").alias("sh_a")), "id_a")
-            .join(sh_tbl.select(F.col("id").alias("id_b"),
-                                F.col("sh").alias("sh_b")), "id_b")
+    # r6: prefix-token buckets instead of a token self-join — one evaluation
+    # of the shingle+keying pipeline instead of two (band_bucket_pairs
+    # docstring), and one more for the verify lookup instead of two
+    # (verify_pair_arrays)
+    cand = band_bucket_pairs(toks, ["tok"])
+    return (verify_pair_arrays(cand, base.select("id", "sh"), "sh")
             .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
             .where(F.col("jacc") >= threshold)
             .select("id_a", "id_b", F.round("jacc", 6).alias("jacc")))
@@ -329,15 +366,25 @@ def simhash_hamming_pairs(docs: DataFrame, *, text_col: str = "text",
     bands = h.select(
         "id", "simhash",
         F.posexplode(F.array(*slices)).alias("band_idx", "band_val"))
-    left = bands.select(F.col("id").alias("id_a"),
-                        F.col("simhash").alias("sim_a"),
-                        "band_idx", "band_val")
-    right = bands.select(F.col("id").alias("id_b"),
-                         F.col("simhash").alias("sim_b"),
-                         "band_idx", "band_val")
-    cand = (left.join(right, ["band_idx", "band_val"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sim_a", "sim_b").distinct())
+    # r6: per-slice buckets instead of a band self-join, whose two legs each
+    # re-ran the whole token-hash + bit-sum pipeline (band_bucket_pairs
+    # docstring). The bucket members carry (id, 16-char hash) only, so the
+    # verify needs no join-back at all.
+    grp = (bands.groupBy("band_idx", "band_val")
+           .agg(F.sort_array(F.collect_list(
+               F.struct("id", "simhash"))).alias("_m"))
+           .where(F.size("_m") > 1))
+    pair_arr = F.flatten(F.transform(
+        F.col("_m"),
+        lambda x, i: F.transform(
+            F.slice(F.col("_m"), i + 2, F.size(F.col("_m"))),
+            lambda y: F.struct(x["id"].alias("id_a"),
+                               y["id"].alias("id_b"),
+                               x["simhash"].alias("sim_a"),
+                               y["simhash"].alias("sim_b")))))
+    cand = (grp.select(F.explode(pair_arr).alias("_p"))
+            .select("_p.id_a", "_p.id_b", "_p.sim_a", "_p.sim_b")
+            .distinct())
     return (cand
             .withColumn("hamming", hamming_hex(F.col("sim_a"), F.col("sim_b")))
             .where(F.col("hamming") <= k)
