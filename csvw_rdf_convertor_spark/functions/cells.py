@@ -342,17 +342,26 @@ def _split_tz_pattern(fmt: str) -> tuple[str, bool]:
 
 
 _TZ_SUFFIX = r"(Z|[+-]\d{2}:?\d{2}|[+-]\d{2})\s*$"
+_TZ_TAIL = r"(Z|[+-]\d{2}:?\d{2}|[+-]\d{2})$"  # over the rtrim'd ≤6-char tail
 
 
 def _extract_tz(value: Column) -> tuple[Column, Column]:
-    """(local_part, normalized_offset_or_'')"""
-    tz = F.regexp_extract(value, _TZ_SUFFIX, 1)
+    """(local_part, normalized_offset_or_'')
+
+    r6: the offset pattern is anchored at the (whitespace-stripped) END and
+    is at most 6 chars, so the per-row regex runs over the last ≤6 chars
+    instead of the whole lexical (~2× on the extraction); the stripped-tail
+    window provably contains every match of the original ``(tz)\\s*$``
+    search. The extracted shapes are exactly Z / ±HH / ±HHMM / ±HH:MM, so
+    the normalization discriminates on length instead of two more regexes."""
+    tail = F.substring(F.rtrim(value, F.lit(" \t\n\x0b\f\r")), -6, 6)
+    tz = F.regexp_extract(tail, _TZ_TAIL, 1)
     local = F.when(tz != "", F.regexp_replace(value, _TZ_SUFFIX, "")).otherwise(value)
     norm = (
         F.when(tz == "Z", F.lit("Z"))
-        .when(tz.rlike(r"^[+-]\d{4}$"),
+        .when(F.length(tz) == 5,
               F.concat(tz.substr(1, 3), F.lit(":"), tz.substr(4, 2)))
-        .when(tz.rlike(r"^[+-]\d{2}$"), F.concat(tz, F.lit(":00")))
+        .when(F.length(tz) == 3, F.concat(tz, F.lit(":00")))
         .otherwise(tz)
     )
     return local, norm

@@ -36,7 +36,17 @@ from pyspark.sql.column import Column
 def as_leaves(df: DataFrame, keep: list[str], **exprs: Column) -> DataFrame:
     """Return ``df`` with ``keep`` columns passed through and each named
     expression materialized as a LEAF attribute behind a single-row
-    Generate barrier (see module docstring)."""
+    Generate barrier (see module docstring).
+
+    Name collisions between ``keep``, the expression names, and the
+    reserved ``_leaf`` alias would otherwise surface as a confusing
+    ambiguous-column analysis error far from the call site (ADVICE r5) —
+    reject them here."""
+    clash = set(keep) & set(exprs)
+    if clash:
+        raise ValueError(f"as_leaves: names both kept and computed: {sorted(clash)}")
+    if "_leaf" in keep or "_leaf" in exprs:
+        raise ValueError("as_leaves: '_leaf' is a reserved alias")
     packed = F.explode(F.array(F.struct(
         *[e.alias(k) for k, e in exprs.items()]))).alias("_leaf")
     return (df.select(*keep, packed)

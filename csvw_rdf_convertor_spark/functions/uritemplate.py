@@ -67,7 +67,12 @@ def pct_encode(col: Column) -> Column:
     e = F.replace(e, F.lit("+"), F.lit("%20"))
     e = F.replace(e, F.lit("%7E"), F.lit("~"))
     e = F.replace(e, F.lit("*"), F.lit("%2A"))
-    return e
+    # fast path (r6): a value of only unreserved chars [A-Za-z0-9._~-] is a
+    # fixed point of the whole chain (url_encode keeps [A-Za-z0-9._*-] and
+    # '~' round-trips through the %7E fixup; '*' is deliberately NOT in the
+    # guard since the chain rewrites it) — one cheap regex test skips the
+    # URLEncoder allocation + three replace scans per variable per row.
+    return F.when(col.rlike("^[A-Za-z0-9._~-]*$"), col).otherwise(e)
 
 
 def _encode_reserved_ok(col: Column) -> Column:

@@ -220,12 +220,16 @@ def link_graph_edges(linked: DataFrame, aliases: DataFrame) -> DataFrame:
     the corpus never links that alias to both (deterministic, corpus-
     independent canonical ids). Both sides are dictionary-scale — the union
     is tiny relative to the mention volume it canonicalizes."""
-    observed = (linked.select(
+    observed = linked.select(
         F.concat(F.lit("sf:"), F.col("mention_norm")).alias("src"),
-        F.col("entity_id").alias("dst")).distinct())
+        F.col("entity_id").alias("dst"))
     dictionary = aliases.select(
         F.concat(F.lit("sf:"), F.col("alias")).alias("src"),
         F.col("entity_id").alias("dst"))
+    # one distinct over the union (r6: the separate observed.distinct()
+    # was redundant — this distinct dedups the same rows one exchange later
+    # at mention-scale, and map-side partial aggregation still collapses
+    # repeats before the shuffle)
     return observed.unionByName(dictionary).distinct()
 
 

@@ -94,14 +94,19 @@ def detect_mentions(transcripts: DataFrame,
             if found.empty:
                 yield empty
                 continue
+            # r6: positional take instead of a per-batch merge — level_0 of
+            # the extractall MultiIndex IS the row ordinal into pdf
             found = found.rename(columns={0: "mention"}).reset_index()
-            found["mention_norm"] = found["mention"].str.lower()
-            out = found.merge(
-                pdf[["conv_id", "turn_idx"]], left_on="level_0", right_index=True)
-            out["candidates"] = out["mention_norm"].map(lookup)
-            out = out.rename(columns={"match": "match_i"})
-            yield out[["conv_id", "turn_idx", "mention", "mention_norm",
-                       "match_i", "candidates"]]
+            lvl = found["level_0"].to_numpy()
+            norm = found["mention"].str.lower()
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"].to_numpy()[lvl],
+                "turn_idx": pdf["turn_idx"].to_numpy()[lvl],
+                "mention": found["mention"].to_numpy(),
+                "mention_norm": norm.to_numpy(),
+                "match_i": found["match"].to_numpy(),
+                "candidates": norm.map(lookup).to_numpy(),
+            })
 
     return (transcripts.select("conv_id", "turn_idx", "text")
             .mapInPandas(find, schema=MENTION_SCHEMA))

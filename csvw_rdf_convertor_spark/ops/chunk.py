@@ -79,6 +79,9 @@ def pack_sequences(docs: DataFrame, *, context_len: int,
     about), while the shard window shuffles once on a uniform bounded key
     and every shard packs independently — the layout is a pure function of
     (ids, token counts), stable under retries and repartitioning.
+    Ids are assumed NON-NEGATIVE (ADVICE r5): ``div`` truncates toward
+    zero, so ids in ``(-shard_size, shard_size)`` would collapse into one
+    double-width shard 0 — the oracle twin shares the same assumption.
 
     Returns one row per (document × pack it touches):
     ``(id_col, shard, pack_id, pack_pos, n_tokens_in_pack)`` where

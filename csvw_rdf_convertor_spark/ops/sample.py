@@ -165,7 +165,12 @@ def mixture_rates(df: DataFrame, stratum_col: str,
     """
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_rows"))
     if target_ppm is None:
-        # uniform target: one strata-sized action at plan-build time
+        # uniform target: one strata-sized Spark ACTION at plan-BUILD time
+        # (ADVICE r5: callers should know this API is eager, and any oracle
+        # replaying the uniform default hardcodes the observed stratum
+        # count — the gate's SQL pins n_strata_uniform=5 for documents.lang,
+        # which this count reproduces at every scale factor of the
+        # deterministic testdata generator)
         n_strata = counts.select(F.count("*")).first()[0]
         if n_strata == 0:
             raise ValueError("empty input: no strata observed")

@@ -304,8 +304,12 @@ def gopher_filter(docs: DataFrame, *, text_col: str = "text",
         F.size(grams).cast("long").alias("_g"),
         F.size(F.array_distinct(grams)).cast("long").alias("_gd"))
     reason = (
-        F.when((F.col("_nt") < min_tokens) | (F.col("_nt") > max_tokens),
-               "n_tokens")
+        # a NULL text yields NULL staged counts, which would make every
+        # branch below NULL — indistinguishable from 'kept' (ADVICE r5):
+        # reject null documents explicitly instead of silently passing them
+        F.when(t.isNull(), "n_tokens")
+        .when((F.col("_nt") < min_tokens) | (F.col("_nt") > max_tokens),
+              "n_tokens")
         .when((F.col("_nc") < 3 * F.col("_nt"))
               | (F.col("_nc") > 12 * F.col("_nt")), "word_len")
         .when(F.col("_np") * 100 > 20 * F.col("_nc"), "punct")

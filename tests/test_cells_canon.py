@@ -23,6 +23,9 @@ DT_EDGE = ["2020-01-01 00:00:00", "2020-01-01T00:00:05",
            "1969-12-31 23:59:59", "0400-01-01 10:00:00.100",
            "2020-01-01 10:00:00Z", "2020-01-01 10:00:00+05:30",
            "2020-01-01 10:00:00-0230", "2020-01-01 10:00:00+14",
+           "2020-01-01 10:00:00Z ", "2020-01-01 10:00:00+05",
+           "2020-01-01 10:00:00 +05:30", "2020-01-01 10:00:00\t",
+           "2020-01-01 10:00:00-05:30", "Z", "+05:30",
            "bad", ""]
 
 TIME_EDGE = ["00:00:00", "23:59:59.999", "10:20:30.500", "10:20:30.000",
@@ -48,11 +51,46 @@ def _old_decimal(value, dt):
         F.concat(F.lit("@@invalid@@"), value))
 
 
+_OLD_TZ = r"(Z|[+-]\d{2}:?\d{2}|[+-]\d{2})\s*$"
+
+
+def _old_extract_tz(value):
+    """Pre-r6 whole-string tz extraction + regex-shape normalization."""
+    tz = F.regexp_extract(value, _OLD_TZ, 1)
+    local = F.when(tz != "", F.regexp_replace(value, _OLD_TZ, "")).otherwise(value)
+    norm = (
+        F.when(tz == "Z", F.lit("Z"))
+        .when(tz.rlike(r"^[+-]\d{4}$"),
+              F.concat(tz.substr(1, 3), F.lit(":"), tz.substr(4, 2)))
+        .when(tz.rlike(r"^[+-]\d{2}$"), F.concat(tz, F.lit(":00")))
+        .otherwise(tz)
+    )
+    return local, norm
+
+
 def _old_datetime(value, dt):
-    """The pre-r6 two-date_format + regex fraction formulation, verbatim."""
-    p = cells.datetime_parts(value, dt)
-    ts, tz = p["ts"], p["tz"]
+    """The pre-r6 two-date_format + regex fraction formulation, verbatim,
+    over the pre-r6 whole-string tz extraction."""
+    local, tz = _old_extract_tz(value)
     base = "dateTime" if dt.base == "datetime" else dt.base
+    if base == "time":
+        ts = (
+            F.when(local.rlike(r"\.\d{6}$"),
+                   F.try_to_timestamp(local, F.lit("HH:mm:ss.SSSSSS")))
+            .when(local.rlike(r"\.\d{3}$"),
+                  F.try_to_timestamp(local, F.lit("HH:mm:ss.SSS")))
+            .otherwise(F.try_to_timestamp(local, F.lit("HH:mm:ss")))
+        )
+    else:
+        ts = (
+            F.when(local.rlike(r"\.\d{6}$"),
+                   F.try_to_timestamp(local, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
+            .when(local.rlike(r"\.\d{3}$"),
+                  F.try_to_timestamp(local, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS")))
+            .when(local.contains("T"),
+                  F.try_to_timestamp(local, F.lit("yyyy-MM-dd'T'HH:mm:ss")))
+            .otherwise(F.try_to_timestamp(local, F.lit("yyyy-MM-dd HH:mm:ss")))
+        )
     has_tz = tz != ""
     frac = F.regexp_replace(F.date_format(ts, ".SSS"), r"0+$", "")
     frac = F.when(frac == ".", F.lit("")).otherwise(frac)

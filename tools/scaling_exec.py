@@ -324,8 +324,10 @@ def _w_dedup(spec, shard_read, out, sample_loop):
     pairs = minhash_near_duplicates(dd, threshold=0.6,
                                     hash_family="xxhash64")
     n_pairs = pairs.count()          # warm; ALSO the cross-level identity
-    # check: planted pairs are shard-local, so N (union of shards) and 4N
-    # (one shard each) must discover the exact same pair set
+    # signal: planted pairs are shard-local, so N (union of shards) and 4N
+    # (one shard each) should discover the same pairs. NOTE (ADVICE r5):
+    # the harness asserts COUNT equality across levels, not set equality —
+    # differing pair sets of equal size would pass this check.
     once = lambda: pairs.write.format("noop").mode("overwrite").save()  # noqa: E731
     for _ in range(N_WARM):
         once()
