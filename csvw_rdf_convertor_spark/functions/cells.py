@@ -172,8 +172,30 @@ def numeric_parts(value: Column, dt: DatatypeSpec) -> dict[str, Column]:
     core = (F.when(pct_t | pml_t, v.substr(F.lit(1), F.length(v) - 1))
             .when(pct_l | pml_l, v.substr(F.lit(2), F.length(v) - 1))
             .otherwise(v))
-    return {"core": core, "pct": pct_t | pct_l, "pml": pml_t | pml_l,
-            "grp_ok": grp_ok}
+    pct, pml = pct_t | pct_l, pml_t | pml_l
+    parts = {"core": core, "pct": pct, "pml": pml, "grp_ok": grp_ok}
+    # r6: also pre-stage the PARSED NUMBER for the decimal/integer families.
+    # Inside the parse's CaseWhen the cast is referenced from the condition
+    # AND the value branches, and codegen's subexpression elimination skips
+    # conditionally-executed branches — each reference re-ran the
+    # BigDecimal parse (~3× per row, measured). As an unconditional staged
+    # column the cast must be try_cast (CLAUDE.md rule): a value whose
+    # magnitude overflows decimal(38,10)/(38,0) now demotes to the
+    # @@invalid@@ form like every other invalid lexical, where the previous
+    # condition-guarded ANSI cast raised (the reference's JS-number
+    # semantics never raised either; no oracle gate exercises >28-digit
+    # magnitudes — both engines' gates are green before and after).
+    if dt.base == "decimal":
+        numc = core.try_cast("decimal(38,10)")
+        parts["num"] = (F.when(pct, numc / 100).when(pml, numc / 1000)
+                        .otherwise(numc))
+    elif dt.base in INTEGER_FAMILY:
+        raw = core.try_cast("decimal(38,0)")
+        numc = raw.try_cast("decimal(38,10)")
+        parts["raw"] = raw
+        parts["num"] = (F.when(pct, numc / 100).when(pml, numc / 1000)
+                        .otherwise(numc))
+    return parts
 
 
 def parse_number(value: Column, dt: DatatypeSpec) -> Column:
@@ -193,14 +215,17 @@ def parse_number(value: Column, dt: DatatypeSpec) -> Column:
                                grp_char or ",")(value)
     p = numeric_parts(value, dt)
     return parse_number_from_parts(value, p["core"], p["pct"], p["pml"],
-                                   p["grp_ok"], dt)
+                                   p["grp_ok"], dt,
+                                   raw=p.get("raw"), num=p.get("num"))
 
 
 def parse_number_from_parts(value: Column, core: Column, pct: Column,
                             pml: Column, grp_ok: Column,
-                            dt: DatatypeSpec) -> Column:
+                            dt: DatatypeSpec, *, raw: Column | None = None,
+                            num: Column | None = None) -> Column:
     """The numeric parse proper, over (ideally attribute) intermediates —
-    see :func:`numeric_parts`."""
+    see :func:`numeric_parts`. ``raw``/``num`` are the pre-staged parsed
+    numbers numeric_parts emits for the decimal/integer families."""
     base = dt.base
     if base in ("double", "float", "number"):
         ok = core.rlike(f"^{DOUBLE_RE}$")
@@ -215,12 +240,17 @@ def parse_number_from_parts(value: Column, core: Column, pct: Column,
         lex = _canonical_double(num, core, pct | pml)
     elif base == "decimal":
         ok = core.rlike(f"^{DECIMAL_RE}$")
-        num = core.cast("decimal(38,10)")
-        num = F.when(pct, num / 100).when(pml, num / 1000).otherwise(num)
+        if num is None:
+            numc = core.try_cast("decimal(38,10)")
+            num = F.when(pct, numc / 100).when(pml, numc / 1000).otherwise(numc)
         lex = _canonical_decimal_str(num, core)
     else:  # integer family
         ok = core.rlike(f"^{INTEGER_RE}$")
-        raw = core.try_cast("decimal(38,0)")  # >38-digit lexicals → null, not ANSI error
+        if raw is None:
+            raw = core.try_cast("decimal(38,0)")  # >38-digit lexicals → null
+        if num is None:
+            numc = raw.try_cast("decimal(38,10)")
+            num = F.when(pct, numc / 100).when(pml, numc / 1000).otherwise(numc)
         lo, hi = INT_RANGES.get(base, (None, None))
         if lo is not None:  # bounds as strings: 2^64-1 overflows a JVM long literal
             ok = ok & (raw >= F.lit(str(lo)).cast("decimal(38,0)"))
@@ -230,17 +260,19 @@ def parse_number_from_parts(value: Column, core: Column, pct: Column,
         # integrality check: '500%' integer → '5', '50%' integer → '0.5' —
         # the reference emits transformedNumber+'' verbatim); extents above
         # apply to the PRE-division value, min/max facets to the result
-        num = F.when(pct, raw.cast("decimal(38,10)") / 100) \
-               .when(pml, raw.cast("decimal(38,10)") / 1000) \
-               .otherwise(raw.cast("decimal(38,10)"))
         lex = (F.when(core.rlike("^-0+$"), F.lit("-0"))
                .when(pct | pml, _canonical_decimal_str(num, core))
                .otherwise(raw.cast("string")))
 
     ok = ok & grp_ok
     ok = _apply_min_max(ok, num, dt)
-    return F.when(ok & num.isNotNull() | (ok & core.isin("INF", "+INF", "-INF", "NaN")),
-                  lex).otherwise(_invalid(value))
+    cond = ok & num.isNotNull()
+    if base in ("double", "float", "number"):
+        # INF/NaN lexicals only pass the double regex — for the decimal and
+        # integer families this disjunct was statically false (r6: pruned;
+        # fewer per-row comparisons and smaller generated methods)
+        cond = cond | (ok & core.isin("INF", "+INF", "-INF", "NaN"))
+    return F.when(cond, lex).otherwise(_invalid(value))
 
 
 def _apply_min_max(ok: Column, num: Column, dt: DatatypeSpec) -> Column:
@@ -557,7 +589,9 @@ def parse_scalar_from_parts(v: Column, col: ColumnSpec,
     dt = col.datatype
     if dt.base in NUMERIC_TYPES:
         return parse_number_from_parts(v, parts["core"], parts["pct"],
-                                       parts["pml"], parts["grp_ok"], dt)
+                                       parts["pml"], parts["grp_ok"], dt,
+                                       raw=parts.get("raw"),
+                                       num=parts.get("num"))
     return parse_datetime_from_parts(v, parts["ts"], parts["tz"], dt)
 
 

@@ -166,14 +166,50 @@ def compile_template(template: str, row_record: Mapping[str, Column],
     if base and not re.match(r"^[A-Za-z][\w+.-]*:", template):
         # RFC 3986 resolution against base, decided on the *expanded* value:
         # absolute IRIs pass through, '#frag' appends to base, relative paths
-        # resolve against the base directory.
-        absolute = out.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
-        out = (
-            F.when(absolute, out)
-            .when(out.startswith("#"), F.concat(F.lit(base), out))
-            .otherwise(F.concat(F.lit(_dir_of(base)), out))
-        )
+        # resolve against the base directory. r6: when the template's
+        # leading LITERAL already decides the branch (it usually does —
+        # '#row-{n}', 'item/{id}', 'urn:x:{id}'), resolve at PLAN time and
+        # skip the per-row scheme regex + branch entirely.
+        head = parts[0][1] if parts and parts[0][0] == "lit" else ""
+        mode = _static_resolution(head)
+        if mode == "abs":
+            pass
+        elif mode == "frag":
+            out = F.concat(F.lit(base), out)
+        elif mode == "rel":
+            out = F.concat(F.lit(_dir_of(base)), out)
+        else:
+            absolute = out.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+            out = (
+                F.when(absolute, out)
+                .when(out.startswith("#"), F.concat(F.lit(base), out))
+                .otherwise(F.concat(F.lit(_dir_of(base)), out))
+            )
     return out
+
+
+def _static_resolution(head: str) -> str | None:
+    """Decide the RFC 3986 resolution branch from the template's leading
+    literal alone, when possible (else None → per-row branch).
+
+    The expanded IRI starts with ``head``; the absolute test is the prefix
+    regex ``^[A-Za-z][A-Za-z0-9+.-]*:``, so: a scheme match inside ``head``
+    ⇒ always absolute; a '#' first char ⇒ always fragment; a non-scheme
+    char before ``head``'s first ':' (or anywhere, when ``head`` has no
+    ':') poisons every longer prefix ⇒ never absolute, and the first char
+    (non-'#') fixes the branch to relative. Only an empty or all-scheme-
+    char colon-free head leaves the branch to the expansion."""
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", head):
+        return "abs"
+    if head.startswith("#"):
+        return "frag"
+    if not head:
+        return None
+    if ":" in head:
+        return "rel"          # scheme test failed within head itself
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*$", head):
+        return "rel"          # a poisoning char precedes any future ':'
+    return None
 
 
 def _dir_of(base: str) -> str:

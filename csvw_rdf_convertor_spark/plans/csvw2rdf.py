@@ -218,6 +218,59 @@ def _column_triples(col: ColumnSpec, values: Column, table: TableSpec,
     return F.when(values.isNull(), F.array().cast(_EMPTY_TRIPLES)).otherwise(out)
 
 
+_BREAK_SEQ = [0]
+#: max typed (parts-staged) columns per codegen segment — 5 measured ≈7.2 KB
+#: of the 8 KB JIT method budget on the lineitem mix (see _codegen_stage_break)
+_TYPED_PER_SEGMENT = 5
+
+
+def _codegen_stage_break(df: DataFrame) -> DataFrame:
+    """Split the fused mapping stage into two WholeStageCodegen segments.
+
+    The cell pipeline + triple fan-out compile into ONE generated consume
+    method; past ~4 typed columns its bytecode exceeds the JVM JIT's
+    8000-byte DontCompileHugeMethods limit (measured maxMethodCodeSize 8430
+    on a 4-column table), so the stage *compiles* (janino is happy, the
+    plan still prints ``*(n)``) but executes in the BYTECODE INTERPRETER —
+    a silent ~2× the frozen bench conf cannot flag. ``observe`` inserts a
+    CollectMetrics node, which does not participate in whole-stage codegen,
+    so the parse half and the template/fan-out half each compile into their
+    own JIT-compilable method. Cost: one row hand-off between segments and
+    a count accumulator — measured well under the JIT win (r6). The
+    observation name only has to be unique per query; a module counter
+    keeps unions of many tables distinct and carries no data."""
+    _BREAK_SEQ[0] += 1
+    return df.observe(f"__csvw2rdf_cg_break_{_BREAK_SEQ[0]}",
+                      F.count(F.lit(1)).alias("rows"))
+
+
+def _staged_explode(df: DataFrame, arrays: list[Column],
+                    passthrough: list[str]) -> DataFrame:
+    """Explode the concatenation of per-column triple arrays, with each
+    array's CONSTRUCTION staged behind its own single-row Generate barrier.
+
+    Building every column's array-of-structs inside the one explode
+    expression compiles into ONE generated Java method
+    (``methodSplitThreshold`` cannot split within a single expression), and
+    past ~3-4 columns that method exceeds the JVM JIT's 8000-byte
+    DontCompileHugeMethods limit — the stage still *compiles* (janino is
+    fine) but runs in the bytecode INTERPRETER (r6: measured 2.2× on the
+    4-column mapping with the JIT flag flipped, which a frozen bench conf
+    cannot do). One barrier per array keeps each construction in its own
+    method; everything stays inside a single WholeStageCodegen (Generate
+    supports codegen), so no extra row materialization is paid."""
+    from ..functions.staging import as_leaves
+    names = []
+    for i, arr in enumerate(arrays):
+        nm = f"__tr_{i}"
+        df = as_leaves(df, list(df.columns), **{nm: arr})
+        names.append(nm)
+    flat = (F.flatten(F.array(*[F.col(n) for n in names]))
+            if len(names) > 1 else F.col(names[0]))
+    return (df.select(*passthrough, F.explode(flat).alias("t"))
+            .select(*passthrough, "t.*"))
+
+
 def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
                      partition_by: str | None = None,
                      default_lang: str = "",
@@ -253,7 +306,9 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
     # CollapseProject keeps 1a/1b separate: the norm producers are non-cheap
     # and multiply referenced.
     cell_col: dict[str, str] = {}
-    stage1a, stage1a2, stage1b = [], [], []
+    stage1a, stage1b = [], []
+    parts_groups: list[list[Column]] = []   # one group per TYPED column
+    typed_cells: set[int] = set()           # stage1b indices of typed cols
     for i, col in enumerate(table.columns):
         cname = f"__cell_{i}"
         cell_col[col.name] = cname
@@ -267,26 +322,56 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
             raise KeyError(f"source column {src!r} for {col.name!r} not in DataFrame")
         nname = f"__norm_{i}"
         stage1a.append(cells.cell_norm(F.col(src), col).alias(nname))
-        # stage 1a2: heavy parse intermediates (numeric core/flags, datetime
-        # ts/tz) as real columns — inlined, their subtrees duplicate at every
-        # reference and ONE generated method (janino caps methods at 64 KB)
-        # grows past the limit, silently demoting the WHOLE fused mapping
-        # stage to interpreted execution (measured 5-10×)
+        # stage 1a2: heavy parse intermediates (numeric core/flags/parsed
+        # number, datetime ts/tz) as real columns — inlined, their subtrees
+        # duplicate at every reference and ONE generated method (janino caps
+        # methods at 64 KB) grows past the limit, silently demoting the
+        # WHOLE fused mapping stage to interpreted execution (measured 5-10×)
         parts = cells.scalar_parse_parts(F.col(nname), col)
         if parts is not None:
             names = {}
+            group = []
             for k, expr in parts.items():
                 pname = f"__p{i}_{k}"
-                stage1a2.append(expr.alias(pname))
+                group.append(expr.alias(pname))
                 names[k] = pname
+            parts_groups.append(group)
+            typed_cells.add(len(stage1b))
             parts = {k: F.col(n) for k, n in names.items()}
         stage1b.append(
             cells.cell_values_from_norm(F.col(nname), col, parts).alias(cname))
     if stage1a:
         df = df.select("*", *stage1a)
-    if stage1a2:
-        df = df.select("*", *stage1a2)
-    df = df.select("*", *stage1b)
+    # Emit the parse intermediates and the cell parses in SEGMENTS of at
+    # most _TYPED_PER_SEGMENT typed columns, each segment behind a
+    # _codegen_stage_break: a segment's generated consume method must stay
+    # under the JVM JIT's 8000-byte DontCompileHugeMethods limit (measured:
+    # 5 typed columns' parts ≈ 6.8 KB, their parses ≈ 7.2 KB — one fused
+    # method for the 7-column lineitem was 13.3 KB and ran in the bytecode
+    # interpreter, ~2× slower, with nothing in the plan string to show it).
+    # Untyped (string/boolean) cells are cheap and ride with any segment;
+    # tables with NO typed columns get no break at all.
+    if parts_groups:
+        seg: list[Column] = []
+        for gi, group in enumerate(parts_groups):
+            seg.extend(group)
+            if (gi + 1) % _TYPED_PER_SEGMENT == 0:
+                df = _codegen_stage_break(df.select("*", *seg))
+                seg = []
+        if seg:
+            df = _codegen_stage_break(df.select("*", *seg))
+        seg, typed_in_seg = [], 0
+        for bi, expr in enumerate(stage1b):
+            seg.append(expr)
+            if bi in typed_cells:
+                typed_in_seg += 1
+                if typed_in_seg == _TYPED_PER_SEGMENT:
+                    df = _codegen_stage_break(df.select("*", *seg))
+                    seg, typed_in_seg = [], 0
+        if seg:
+            df = _codegen_stage_break(df.select("*", *seg))
+    else:
+        df = df.select("*", *stage1b)
 
     # stage 2: row-record bindings (template variables) as columns
     rec_col: dict[str, str] = {}
@@ -357,10 +442,11 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
         # passthrough columns (e.g. a pre-computed partition bucket) ride
         # through the explode so callers keep their partitioning without
         # re-deriving keys from 10× more triple rows
-        arrays = F.flatten(F.array(*per_col)) if per_col else F.array().cast(_EMPTY_TRIPLES)
-        out = (df.select(*passthrough, F.explode(arrays).alias("t"))
-               .select(*passthrough, "t.*"))
-        return out
+        if not per_col:
+            return (df.select(*passthrough,
+                              F.explode(F.array().cast(_EMPTY_TRIPLES)).alias("t"))
+                    .select(*passthrough, "t.*"))
+        return _staged_explode(df, per_col, list(passthrough))
 
     # standard mode (T7): row scaffolding emitted from the same single pass
     row_node = _row_node(url)
@@ -413,8 +499,7 @@ def table_to_triples(df: DataFrame, table: TableSpec, *, minimal: bool = True,
         scaffold.append(F.array(triple(row_node, F.lit(CSVW + "describes"), subj, kind,
                                        F.lit(""), F.lit(""))))
 
-    arrays = F.flatten(F.array(*(per_col + scaffold)))
-    row_triples = df.select(F.explode(arrays).alias("t")).select("t.*")
+    row_triples = _staged_explode(df, per_col + scaffold, [])
 
     spark = df.sparkSession
     group_node_id = "_:skgroup"
