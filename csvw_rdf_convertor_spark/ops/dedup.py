@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .minhash import (jaccard, lsh_bands, shingle_pairs,
-                      signature_from_pairs, with_word_shingles)
+                      with_min_signature, with_word_shingles)
 
 # --- exact dedup ---------------------------------------------------------------
 
@@ -96,15 +96,19 @@ def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
     """
     rows_per_band = n_perm // n_bands
     # shingles arrive as a LEAF column (Generate-barrier staged) so the
-    # signature fold and the verify join read an attribute instead of
+    # signature and the verify join read an attribute instead of
     # re-evaluating the split per shingle position (with_word_shingles
-    # docstring; measured 4× on the signature stage)
-    base = (with_word_shingles(
-                docs.select(F.col(id_col).alias("id"), F.col(text_col)),
-                ["id"], text_col=text_col, n=shingle_words)
-            .withColumn("pr", shingle_pairs(F.col("sh"), hash_family))
-            .withColumn("sig", signature_from_pairs(F.col("pr"), n_perm))
-            .drop("pr"))
+    # docstring; measured 4× on the signature stage). The signature itself
+    # is the explode + compiled-min-aggregate form: the next step (banding)
+    # shuffles anyway, so trading the interpreted per-shingle fold for one
+    # ids+n_perm-longs exchange is a straight CPU win (with_min_signature
+    # docstring; r6: full row 2.62 → 2.36 s, values bit-identical).
+    base = with_min_signature(
+        with_word_shingles(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col)),
+            ["id"], text_col=text_col, n=shingle_words)
+        .withColumn("pr", shingle_pairs(F.col("sh"), hash_family)),
+        ["id"], "pr", n_perm)
     bands = lsh_bands(base, "sig", n_bands, rows_per_band, ["id"], hash_family)
     cand = band_bucket_pairs(bands, ["band", "band_key"])
 

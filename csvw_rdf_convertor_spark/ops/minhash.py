@@ -159,6 +159,42 @@ def signature_from_pairs(pairs: Column, n_perm: int = 64) -> Column:
             acc, perms, lambda a, j: F.least(a, p["h1"] + j * p["h2"])))
 
 
+def with_min_signature(df: DataFrame, id_cols: list[str], pr_col: str = "pr",
+                       n_perm: int = 64, out: str = "sig") -> DataFrame:
+    """(id_cols..., sig) via explode + ``n_perm`` compiled ``min`` aggregates
+    — the DataFrame-level alternative to the narrow
+    :func:`signature_from_pairs` fold.
+
+    The fold is an interpreted higher-order function (HOFs are
+    CodegenFallback): per shingle it pays ``n_perm`` interpreted lambda
+    steps plus one ``n_perm``-slot array allocation. Exploding the pair
+    array and taking ``min(h1 + j·h2)`` per permutation runs entirely in
+    whole-stage codegen with map-side partial aggregation, so the exchange
+    this adds carries ONE row of ``n_perm`` longs per id (each id lives in
+    one input partition → the partial aggregate is already final-sized).
+    Measured at sf0.1/2 cores (r6): signature stage 1.24 → 0.86 s, full
+    ``minhash_near_duplicates`` row 2.62 → 2.36 s, signatures bit-identical
+    (min over the same values in either order; the md5 oracle gates replay
+    them — tests/test_hash_family.py + tests/test_minhash_sig_agg.py).
+
+    Use when the caller's next step shuffles anyway (LSH banding);
+    keep the narrow fold where an exchange is unaffordable or the frame is
+    broadcast-sized (link_fuzzy's alias side). Rows whose ``pr_col`` is
+    EMPTY disappear from the output (no exploded rows) — same contract as
+    the fold's documented "callers filter empty shingle sets first";
+    ``with_word_shingles`` never produces an empty shingle array.
+    """
+    ex = (df.select(*id_cols, F.explode(pr_col).alias("_p"))
+          .select(*id_cols, F.col("_p.h1").alias("_h1"),
+                  F.col("_p.h2").alias("_h2")))
+    aggs = [F.min(F.col("_h1") + F.lit(j) * F.col("_h2")).alias(f"_m{j}")
+            for j in range(1, n_perm + 1)]
+    return (ex.groupBy(*id_cols).agg(*aggs)
+            .select(*id_cols,
+                    F.array(*[F.col(f"_m{j}")
+                              for j in range(1, n_perm + 1)]).alias(out)))
+
+
 def signature_from_hexes(hexes: Column, n_perm: int = 64) -> Column:
     """Signature straight from the staged md5-hex array."""
     return signature_from_pairs(pairs_from_hexes(hexes), n_perm)
